@@ -1,0 +1,40 @@
+"""Engine configuration.
+
+The reference uses a mutable module singleton (``MOBPY/config.py:15-221``);
+mutable globals don't travel to Ray workers, so here config is an explicit
+frozen value passed down (or defaulted). Only ``epsilon`` is algorithmic:
+the reference's PAVA violation checks and WoE clipping both use
+``epsilon=1e-12`` (``MOBPY/config.py:35``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+EPSILON: float = 1e-12
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Immutable engine-level knobs.
+
+    Attributes:
+        epsilon: numerical tolerance used in PAVA violation checks,
+            strict-monotonicity plateau merging and WoE clipping.
+        target_batch_size: default rows per batch for stateless
+            map_batches stages.
+        decode_batch_bytes: approximate byte budget per decode batch
+            (binary image payloads — batch size is derived from this,
+            not from a row count).
+        num_buckets: default hash-bucket count for entity-partitioned
+            temporal operators. At cluster scale this should be a small
+            multiple of total cores.
+    """
+
+    epsilon: float = EPSILON
+    target_batch_size: int = 65536
+    decode_batch_bytes: int = 64 * 1024 * 1024
+    num_buckets: int = 64
+
+
+DEFAULT_CONFIG = EngineConfig()
