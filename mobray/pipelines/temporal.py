@@ -1,0 +1,335 @@
+"""Point-in-time / windowed temporal operators over Ray Datasets.
+
+Absent from the reference (strictly batch, SURVEY.md §2.11); mandated by
+the north rule. All operators share one partitioning contract:
+
+  PARTITIONING ASSUMPTION: rows are hash-bucketed by the entity key, so
+  every entity is wholly contained in exactly one bucket; within a
+  bucket the operator sorts by (key, ts). Sessions / windows / as-of
+  matches therefore never cross bucket boundaries by construction.
+  Cost: ONE all-to-all shuffle (the bucket groupby) per operator chain —
+  ``with_buckets`` can be called once and reused across chained
+  operators to keep it to one shuffle total.
+
+Skew: a hot entity cannot be split (correctness), but buckets hold many
+entities; ``num_buckets`` should be a small multiple of total cores so
+one hot bucket does not straggle the stage.
+
+The per-bucket functions are vectorized pandas (groupby.shift / ffill /
+cumsum / merge_asof) — one Python call per bucket, not per entity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_KEY = "0123456789123456"  # fixed pandas hash key -> stable across workers
+BUCKET_COL = "__bucket"
+
+
+def _hash_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(values, hash_key=_HASH_KEY) % num_buckets).astype(
+        np.int32
+    )
+
+
+def _arrow_types(schema) -> dict:
+    """ray.data.Schema -> {name: pa.DataType}. Pandas-backed datasets
+    report numpy/python types (object for strings); normalize them."""
+    out = {}
+    for name, t in zip(schema.names, schema.types):
+        if not isinstance(t, pa.DataType):
+            if t is object or t is str:
+                t = pa.string()
+            else:
+                t = pa.from_numpy_dtype(np.dtype(t))
+        out[name] = t
+    return out
+
+
+def with_buckets(ds, key: str, num_buckets: int = 64):
+    """Append a stable hash-bucket column for the entity key."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(vals, num_buckets), pa.int32())
+        )
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def _per_bucket(ds, key: str, num_buckets: int, fn):
+    """bucket -> groupby -> vectorized pandas fn per bucket, dropping the
+    bucket column on the way out."""
+    bucketed = ds if BUCKET_COL in ds.schema().names else with_buckets(ds, key, num_buckets)
+
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g)
+        return out.drop(columns=[BUCKET_COL], errors="ignore")
+
+    return bucketed.groupby(BUCKET_COL).map_groups(wrapped, batch_format="pandas")
+
+
+def lag_lead(
+    ds,
+    key: str,
+    ts: str,
+    cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    num_buckets: int = 64,
+):
+    """Per-entity LAG/LEAD columns (``{col}_lag{k}`` / ``{col}_lead{k}``),
+    ordered by ts within entity. SQL-equivalent:
+    ``LAG(col, k) OVER (PARTITION BY key ORDER BY ts)``."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)
+        for col in cols:
+            for k in lags:
+                g[f"{col}_lag{k}"] = grouped[col].shift(k)
+            for k in leads:
+                g[f"{col}_lead{k}"] = grouped[col].shift(-k)
+        return g
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
+def backfill(
+    ds,
+    key: str,
+    ts: str,
+    cols: Sequence[str],
+    num_buckets: int = 64,
+    out_suffix: str = "_filled",
+):
+    """Forward-fill nulls per entity using only values at earlier (or the
+    same) timestamps — never a later value, so zero temporal leakage.
+    SQL-equivalent: ``LAST_VALUE(col IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY ts ROWS UNBOUNDED PRECEDING)``."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)
+        for col in cols:
+            g[f"{col}{out_suffix}"] = grouped[col].ffill()
+        return g
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
+def sessionize(
+    ds,
+    key: str,
+    ts: str,
+    gap,
+    num_buckets: int = 64,
+    session_col: str = "session_seq",
+):
+    """Gap-based session ids per entity: a new session starts at the first
+    row of an entity and whenever ``ts - prev_ts > gap``.
+
+    ``gap`` is a pd.Timedelta (or anything comparable to the ts diff).
+    Emits ``{session_col}`` (1-based per-entity session ordinal) and
+    ``session_id`` (= "{key}#{seq}")."""
+
+    gap = pd.Timedelta(gap) if not isinstance(gap, pd.Timedelta) else gap
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)
+        prev = grouped[ts].shift(1)
+        new_session = prev.isna() | ((g[ts] - prev) > gap)
+        g["__new"] = new_session.astype(np.int64)
+        g[session_col] = g.groupby(key, sort=False)["__new"].cumsum()
+        g["session_id"] = g[key].astype(str) + "#" + g[session_col].astype(str)
+        return g.drop(columns=["__new"])
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """Distributed sorted-merge as-of join (point-in-time lookup).
+
+    For each left row, attaches the ``right_cols`` of the latest right
+    row of the same entity with ``right.ts <= left.ts`` (backward;
+    'forward'/'nearest' as in pd.merge_asof). Rows with no earlier match
+    get nulls — a right row with a LATER timestamp is never used (zero
+    temporal leakage; asserted by tests against a DuckDB oracle).
+
+    Implementation: both sides are tagged, schema-aligned, unioned, and
+    hash-bucketed by entity; one groupby shuffle co-locates each entity's
+    rows from both sides; per bucket a vectorized ``pd.merge_asof``
+    (sorted-merge, by=key) runs once. This is exchange-equivalent to a
+    range-partitioned sort-merge join but reuses Ray Data's groupby
+    machinery. Broadcast variant: if the right side is tiny, prefer
+    ``asof_join_broadcast``.
+    """
+    left_names = [c for c in left.schema().names if c != BUCKET_COL]
+    rcols = list(right_cols)
+    out_rcols = [c + suffix if c in left_names else c for c in rcols]
+
+    right_types = _arrow_types(right.schema())
+    left_types = _arrow_types(left.schema())
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        for rc, oc in zip(rcols, out_rcols):
+            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
+        return batch
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {key: batch[key], ts: batch[ts]}
+        out = pa.table(cols)
+        out = out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        for lc in left_names:
+            if lc in (key, ts):
+                continue
+            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+        for rc, oc in zip(rcols, out_rcols):
+            out = out.append_column(oc, batch[rc])
+        # match left's column order
+        order = left_names + ["__side"] + out_rcols
+        return out.select(order)
+
+    lpad = left.map_batches(pad_left, batch_format="pyarrow")
+    rpad = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lpad.union(rpad)
+
+    tol = pd.Timedelta(tolerance) if tolerance is not None and not isinstance(tolerance, pd.Timedelta) else tolerance
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
+        rdf = g[g["__side"] == 1][[key, ts] + out_rcols]
+        if len(ldf) == 0:
+            return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
+        ldf = ldf.sort_values(ts, kind="stable")
+        rdf = rdf.sort_values(ts, kind="stable")
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            on=ts,
+            by=key,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return merged
+
+    return _per_bucket(both, key, num_buckets, fn)
+
+
+def asof_join_broadcast(
+    left,
+    right_df: pd.DataFrame,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+):
+    """As-of join against a SMALL right side: the right table is put in
+    the object store once (``ray.put``) and every map_batches task does a
+    local merge_asof — no shuffle at all. Use when the right side fits
+    comfortably in worker memory (dimension-table pattern)."""
+    import ray
+
+    rdf = right_df[[key, ts] + list(right_cols)].sort_values(ts, kind="stable")
+    left_names = left.schema().names
+    rename = {c: c + suffix for c in right_cols if c in left_names}
+    if rename:
+        rdf = rdf.rename(columns=rename)
+    ref = ray.put(rdf)
+    tol = pd.Timedelta(tolerance) if tolerance is not None and not isinstance(tolerance, pd.Timedelta) else tolerance
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        out = pd.merge_asof(
+            batch.sort_values(ts, kind="stable"),
+            small,
+            on=ts,
+            by=key,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return out
+
+    return left.map_batches(fn, batch_format="pandas")
+
+
+def tumbling_window(
+    ds,
+    key: str,
+    ts: str,
+    window: str,
+    value_col: str,
+    num_buckets: int = 64,  # unused; kept for signature symmetry
+):
+    """Tumbling-window aggregate per (entity, window): count/sum/min/max/
+    mean of ``value_col`` over fixed windows of ``window`` (e.g. '1h').
+
+    Pre-aggregates inside map_batches (one row per (key, window) per
+    batch) before the global groupby — the combiner pattern, so the
+    shuffle moves partials, not rows. SQL-equivalent:
+    ``GROUP BY key, date_trunc/epoch-floor(ts)``."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    import pyarrow.compute as pc
+
+    window_us = int(pd.Timedelta(window).value // 1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        vals = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        wstart = (ts_us // window_us) * window_us
+        df = pd.DataFrame({key: keys, "window_start": wstart, "v": vals})
+        g = df.groupby([key, "window_start"], sort=False)["v"]
+        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby([key, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="sum_value"),
+        Min("mn", alias_name="min_value"),
+        Max("mx", alias_name="max_value"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_events"].to_numpy(zero_copy_only=False).astype(float)
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("mean_value", pa.array(s / n, pa.float64()))
+        ws = batch["window_start"].to_numpy(zero_copy_only=False)
+        batch = batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pa.array(ws.astype("datetime64[us]"), pa.timestamp("us")),
+        )
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

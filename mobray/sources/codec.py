@@ -1,0 +1,154 @@
+"""Self-contained image codecs on stdlib zlib — no PIL in this sandbox.
+
+Two formats:
+  - ``raw``: H*W*3 uint8 buffer (zero-copy reshape; the fast path)
+  - ``png``: minimal but spec-conformant PNG (8-bit RGB, filter 0 rows
+    on encode; decoder handles all five standard filters)
+
+PNG is lossless, so decode(encode(px)) == px exactly — which trivially
+satisfies the PSNR >= 40 dB gate (BASELINE.json north_star) and lets
+tests assert exact pixel equality.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def png_encode(pixels: np.ndarray, compress_level: int = 1) -> bytes:
+    """Encode an (H, W, 3) uint8 array as an RGB8 PNG (filter 0 rows)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # one filter byte (0 = None) per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4). Row-wise loop; each row is
+    vectorized except Sub/Paeth which are inherently sequential."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + stride)
+    for r in range(h):
+        ftype = rows[r, 0]
+        cur = rows[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            line = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 1:  # Sub
+            line = cur.copy()
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 4:  # Paeth
+            line = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+        out[r] = line.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG produced by any conformant encoder -> (H, W, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth} color={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expected = h * (1 + w * 3)
+    if len(raw) != expected:
+        raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
+    return _unfilter(raw, h, w).reshape(h, w, 3)
+
+
+def raw_encode(pixels: np.ndarray) -> bytes:
+    if pixels.dtype != np.uint8:
+        raise ValueError("raw codec expects uint8")
+    return pixels.tobytes()
+
+
+def raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) != h * w * 3:
+        raise ValueError(f"raw buffer length {len(arr)} != {h}x{w}x3")
+    return arr.reshape(h, w, 3)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "raw":
+        return raw_encode(pixels)
+    raise NotImplementedError(
+        f"fmt '{fmt}' not supported in this sandbox (no image libs); "
+        f"supported: png, raw"
+    )
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "raw":
+        return raw_decode(data, w, h)
+    raise NotImplementedError(
+        f"fmt '{fmt}' not supported in this sandbox (no image libs); "
+        f"supported: png, raw"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)

@@ -1,0 +1,161 @@
+"""PNG/raw codec + phash + generator determinism."""
+
+import numpy as np
+import pytest
+
+from mobray.functions.phash import hamming64, phash64, popcount64
+from mobray.sources.codec import (
+    decode_image,
+    encode_image,
+    png_decode,
+    png_encode,
+    psnr,
+    raw_decode,
+    raw_encode,
+)
+from mobray.sources.imagegen import gen_attrs_table, gen_entities_table, gen_entity_rows
+
+
+class TestPng:
+    def test_roundtrip_exact(self):
+        rng = np.random.RandomState(0)
+        for h, w in [(1, 1), (7, 3), (32, 48), (64, 64)]:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = png_decode(png_encode(px))
+            assert np.array_equal(out, px)
+
+    def test_psnr_gate(self):
+        """North-star gate: lossless decode => PSNR >= 40 dB (inf here)."""
+        px = np.random.RandomState(1).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        assert psnr(px, png_decode(png_encode(px))) == float("inf")
+
+    def test_filters_decoded(self):
+        """Decoder must handle Sub/Up/Average/Paeth-filtered rows, not just
+        the filter-0 rows our encoder emits."""
+        import struct
+        import zlib
+
+        px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+        # hand-build a PNG with one row per filter type 0,1,2
+        h, w = 3, 4
+        stride = w * 3
+        rows = []
+        flat = px.reshape(h, stride).astype(np.int32)
+        rows.append(bytes([0]) + (flat[0] & 0xFF).astype(np.uint8).tobytes())
+        sub = flat[1].copy()
+        sub[3:] = (flat[1][3:] - flat[1][:-3]) & 0xFF
+        rows.append(bytes([1]) + sub.astype(np.uint8).tobytes())
+        up = (flat[2] - flat[1]) & 0xFF
+        rows.append(bytes([2]) + up.astype(np.uint8).tobytes())
+        raw = b"".join(rows)
+
+        def chunk(tag, payload):
+            crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+            return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(png_decode(data), px)
+
+    def test_bad_signature(self):
+        with pytest.raises(ValueError, match="signature"):
+            png_decode(b"nope" * 4)
+
+    def test_unknown_fmt_raises(self):
+        px = np.zeros((2, 2, 3), np.uint8)
+        with pytest.raises(NotImplementedError):
+            encode_image(px, "jpeg")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"", 2, 2, "jpeg")
+
+
+class TestRaw:
+    def test_roundtrip(self):
+        px = np.random.RandomState(2).randint(0, 256, (5, 9, 3), dtype=np.uint8)
+        assert np.array_equal(raw_decode(raw_encode(px), 9, 5), px)
+
+    def test_length_check(self):
+        with pytest.raises(ValueError):
+            raw_decode(b"\x00" * 10, 2, 2)
+
+
+class TestPsnr:
+    def test_known_value(self):
+        a = np.zeros((4, 4, 3), np.uint8)
+        b = a.copy()
+        b[0, 0, 0] = 16  # mse = 256/48
+        expect = 10 * np.log10(255**2 / (256 / 48))
+        assert psnr(a, b) == pytest.approx(expect)
+
+
+class TestPhash:
+    def test_deterministic(self):
+        px = np.random.RandomState(3).randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        assert phash64(px) == phash64(px.copy())
+
+    def test_similar_images_close(self):
+        px = np.random.RandomState(4).randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        px2 = px.copy()
+        px2[:2, :2] = 0
+        d = hamming64(np.array([phash64(px)]), np.array([phash64(px2)]))[0]
+        assert d <= 8
+
+    def test_different_images_far(self):
+        a = np.random.RandomState(5).randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        gradient = np.tile(np.arange(32, dtype=np.uint8)[None, :, None] * 8, (32, 1, 3))
+        d = hamming64(np.array([phash64(a)]), np.array([phash64(gradient)]))[0]
+        assert d > 8
+
+    def test_popcount(self):
+        assert popcount64(np.array([0]))[0] == 0
+        assert popcount64(np.array([-1]))[0] == 64
+        assert popcount64(np.array([0b1011]))[0] == 3
+
+    def test_nonsquare(self):
+        px = np.random.RandomState(6).randint(0, 256, (48, 96, 3), dtype=np.uint8)
+        assert isinstance(phash64(px), int)
+
+
+class TestGenerator:
+    def test_deterministic_across_sharding(self):
+        r1 = gen_entity_rows(42, 3, 4)
+        r2 = gen_entity_rows(42, 3, 4)
+        assert r1["bytes"] == r2["bytes"]
+        assert r1["caption"] == r2["caption"]
+        assert r1["event_ts"] == r2["event_ts"]
+
+    def test_table_schema_and_roundtrip(self):
+        t = gen_entities_table(42, [0, 1], 3)
+        assert t.num_rows == 6
+        assert t.schema.names == [
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "event_ts", "label",
+        ]
+        # every row's bytes decode to pixels whose phash matches the column
+        for i in range(t.num_rows):
+            row = {c: t[c][i].as_py() for c in t.schema.names}
+            px = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+            assert px.shape == (row["h"], row["w"], 3)
+            assert phash64(px) == row["phash"]
+
+    def test_timestamps_increasing_per_entity(self):
+        r = gen_entity_rows(42, 7, 10)
+        ts = r["event_ts"]
+        assert all(b > a for a, b in zip(ts, ts[1:]))
+
+    def test_attrs_interleave(self):
+        t = gen_attrs_table(42, [0, 1], 4)
+        assert t.num_rows == 12  # (4+2) per entity
+        assert t.schema.names == ["image_id", "event_ts", "attr"]
+
+    def test_label_monotone_in_popcount(self):
+        """Aggregate check: event rate increases with popcount(phash)."""
+        t = gen_entities_table(42, list(range(150)), 4)
+        pop = popcount64(t["phash"].to_numpy())
+        y = t["label"].to_numpy()
+        lo = y[pop < 30].mean() if (pop < 30).any() else 0.0
+        hi = y[pop > 34].mean() if (pop > 34).any() else 1.0
+        assert hi > lo

@@ -1,0 +1,297 @@
+"""Temporal operators vs DuckDB/pandas oracles on the events table
+(SURVEY.md §5 test plan item 3), incl. explicit no-leakage assertions."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from mobray.pipelines.temporal import (
+    asof_join,
+    asof_join_broadcast,
+    backfill,
+    lag_lead,
+    sessionize,
+    tumbling_window,
+)
+
+
+@pytest.fixture(scope="module")
+def events_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture()
+def events_ds(ray_session, sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def duck_sql(sf_dir, query):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    df = con.sql(query).df()
+    con.close()
+    return df
+
+
+class TestLagLead:
+    def test_vs_sql(self, events_ds, sf_dir):
+        out = (
+            lag_lead(events_ds, "user_id", "ts", ["value"], lags=[1], leads=[1], num_buckets=4)
+            .to_pandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duck_sql(sf_dir,
+                """
+            SELECT user_id, ts, value,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1,
+                   LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead1
+            FROM events ORDER BY user_id, ts
+            """
+            )
+        )
+        np.testing.assert_allclose(
+            out["value_lag1"].to_numpy(), oracle["value_lag1"].to_numpy(), equal_nan=True
+        )
+        np.testing.assert_allclose(
+            out["value_lead1"].to_numpy(), oracle["value_lead1"].to_numpy(), equal_nan=True
+        )
+
+
+class TestBackfill:
+    def test_vs_sql(self, ray_session, events_pd, sf_dir):
+        import ray.data
+
+        # null out non-purchase values, then forward-fill per user
+        df = events_pd.copy()
+        df["pv"] = df["value"].where(df["event_type"] == "purchase")
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            backfill(ds, "user_id", "ts", ["pv"], num_buckets=4)
+            .to_pandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        oracle = duck_sql(sf_dir,
+            """
+            SELECT user_id, ts,
+                   LAST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_filled
+            FROM events ORDER BY user_id, ts
+            """
+        )
+        np.testing.assert_allclose(
+            out["pv_filled"].to_numpy(), oracle["pv_filled"].to_numpy(), equal_nan=True
+        )
+
+    def test_no_future_leak(self, ray_session):
+        """A null before the first observation must stay null — never
+        filled from a later value."""
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+                "v": [np.nan, 5.0, np.nan],
+            }
+        )
+        out = (
+            backfill(ray.data.from_pandas(df), "k", "ts", ["v"], num_buckets=2)
+            .to_pandas()
+            .sort_values("ts")
+        )
+        assert np.isnan(out["v_filled"].iloc[0])
+        assert out["v_filled"].iloc[2] == 5.0
+
+
+class TestSessionize:
+    def test_vs_sql(self, events_ds, sf_dir):
+        out = (
+            sessionize(events_ds, "user_id", "ts", gap="30min", num_buckets=4)
+            .to_pandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duck_sql(sf_dir,
+                """
+            SELECT user_id, ts,
+                   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+            FROM (SELECT user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+            ORDER BY user_id, ts
+            """
+            )
+        )
+        np.testing.assert_array_equal(
+            out["session_seq"].to_numpy(), oracle["session_seq"].to_numpy()
+        )
+
+    def test_session_ids_scoped_to_entity(self, events_ds):
+        out = sessionize(events_ds, "user_id", "ts", gap="30min", num_buckets=4).to_pandas()
+        # session_id embeds the entity, so ids are globally unique per entity
+        assert out["session_id"].str.split("#").str[0].astype(int).equals(out["user_id"])
+
+
+class TestAsofJoin:
+    def _sides(self, events_pd):
+        left = events_pd[events_pd["event_type"] == "view"][["user_id", "ts", "event_id"]]
+        right = events_pd[events_pd["event_type"] == "purchase"][
+            ["user_id", "ts", "value"]
+        ]
+        return left, right
+
+    def test_vs_duckdb_asof(self, ray_session, events_pd, sf_dir):
+        import ray.data
+
+        left, right = self._sides(events_pd)
+        out = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                key="user_id",
+                ts="ts",
+                right_cols=["value"],
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duck_sql(sf_dir,
+                """
+            SELECT l.user_id, l.ts, l.event_id, r.value
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='view') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id
+            """
+            )
+        )
+        assert len(out) == len(oracle)
+        np.testing.assert_allclose(
+            out["value"].to_numpy(), oracle["value"].to_numpy(), equal_nan=True
+        )
+
+    def test_broadcast_variant_matches(self, ray_session, events_pd):
+        import ray.data
+
+        left, right = self._sides(events_pd)
+        a = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(2),
+                key="user_id",
+                ts="ts",
+                right_cols=["value"],
+                num_buckets=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")["value"]
+            .to_numpy()
+        )
+        b = (
+            asof_join_broadcast(
+                ray.data.from_pandas(left).repartition(4),
+                right,
+                key="user_id",
+                ts="ts",
+                right_cols=["value"],
+            )
+            .to_pandas()
+            .sort_values("event_id")["value"]
+            .to_numpy()
+        )
+        np.testing.assert_allclose(a, b, equal_nan=True)
+
+    def test_zero_temporal_leakage(self, ray_session):
+        """Right rows strictly later than the left row must NEVER match."""
+        import ray.data
+
+        left = pd.DataFrame(
+            {"k": ["e1", "e1"], "ts": pd.to_datetime(["2024-01-05", "2024-01-10"]),
+             "row": [1, 2]}
+        )
+        right = pd.DataFrame(
+            {
+                "k": ["e1", "e1", "e1"],
+                "ts": pd.to_datetime(["2024-01-04", "2024-01-07", "2024-01-20"]),
+                "attr": [10.0, 20.0, 999.0],
+            }
+        )
+        out = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                key="k",
+                ts="ts",
+                right_cols=["attr"],
+                num_buckets=2,
+            )
+            .to_pandas()
+            .sort_values("row")
+        )
+        assert list(out["attr"]) == [10.0, 20.0]  # 999.0 (future) never leaks
+
+    def test_no_match_gives_null(self, ray_session):
+        import ray.data
+
+        left = pd.DataFrame(
+            {"k": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "row": [1]}
+        )
+        right = pd.DataFrame(
+            {"k": ["a"], "ts": pd.to_datetime(["2024-06-01"]), "attr": [5.0]}
+        )
+        out = asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            key="k",
+            ts="ts",
+            right_cols=["attr"],
+            num_buckets=2,
+        ).to_pandas()
+        assert out["attr"].isna().all()
+
+
+class TestTumblingWindow:
+    def test_vs_sql(self, events_ds, sf_dir):
+        out = (
+            tumbling_window(events_ds, "user_id", "ts", "1h", "value")
+            .to_pandas()
+            .sort_values(["user_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duck_sql(sf_dir,
+                """
+            SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   count(*) AS n_events, sum(value) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value,
+                   avg(value) AS mean_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+            """
+            )
+        )
+        assert len(out) == len(oracle)
+        np.testing.assert_array_equal(
+            out["n_events"].to_numpy(), oracle["n_events"].to_numpy()
+        )
+        np.testing.assert_allclose(
+            out["sum_value"].to_numpy(), oracle["sum_value"].to_numpy(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            out["mean_value"].to_numpy(), oracle["mean_value"].to_numpy(), rtol=1e-9
+        )
