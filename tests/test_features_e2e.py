@@ -1,0 +1,150 @@
+"""End-to-end flagship pipeline + decode verification + resumable
+checkpoint (SURVEY.md §5 items 4-5)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mobray.pipelines.features import (
+    decode_verification_report,
+    image_feature_pipeline,
+)
+from mobray.sources.imagegen import generate_image_table
+from mobray.state.checkpoint import load_manifests, resumable_write
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("imgtable"))
+    generate_image_table(out, n_entities=60, snapshots=5, seed=42)
+    return out
+
+
+class TestGeneratorOutput:
+    def test_files_exist(self, image_dir):
+        assert os.path.isdir(f"{image_dir}/images")
+        assert os.path.isdir(f"{image_dir}/attrs")
+
+    def test_regen_is_noop(self, image_dir):
+        import time
+
+        t0 = time.time()
+        generate_image_table(image_dir, n_entities=60, snapshots=5, seed=42)
+        assert time.time() - t0 < 0.5  # skipped via _GEN_DONE marker
+
+
+class TestDecodeVerification:
+    def test_all_gates_pass(self, ray_session, image_dir):
+        rep = decode_verification_report(image_dir, concurrency=2)
+        assert rep["n"] == 300
+        assert rep["n_ok"] == rep["n"]
+        assert rep["n_phash_match"] == rep["n"]
+        assert rep["n_psnr_ge_40"] == rep["n"]
+
+    def test_caption_exact_equality(self, ray_session, image_dir):
+        """Captions must survive the storage round-trip byte-identically."""
+        from mobray.sources.imagegen import gen_entity_rows, read_image_table
+
+        got = (
+            read_image_table(image_dir, columns=["image_id", "caption", "event_ts"])
+            .to_pandas()
+            .sort_values(["image_id", "event_ts"])
+        )
+        for entity in (0, 17, 59):
+            expect = gen_entity_rows(42, entity, 5)
+            rows = got[got["image_id"] == f"img-{entity:09d}"]
+            assert list(rows["caption"]) == expect["caption"]
+
+
+class TestFlagshipPipeline:
+    def test_feature_rows(self, ray_session, image_dir):
+        features, model = image_feature_pipeline(image_dir, num_buckets=8)
+        df = features.to_pandas()
+        assert len(df) == 300
+        expected_cols = {
+            "image_id", "event_ts", "pop", "pop_woe", "pop_bin",
+            "attr", "attr_lag1", "attr_lead1", "attr_filled", "session_seq",
+        }
+        assert expected_cols <= set(df.columns)
+        assert model.is_binary
+        # woe values consistent with the broadcast model
+        lab_to_woe = dict(zip(model.labels, model.woe))
+        valid = df.dropna(subset=["pop_woe"])
+        np.testing.assert_allclose(
+            valid["pop_woe"].to_numpy(),
+            valid["pop_bin"].map(lab_to_woe).to_numpy(),
+            rtol=1e-12,
+        )
+
+    def test_no_temporal_leakage_in_attr(self, ray_session, image_dir):
+        """Joined attr must come from an attrs row at ts <= event_ts."""
+        import pyarrow.parquet as pq
+
+        features, _ = image_feature_pipeline(image_dir, num_buckets=8)
+        df = features.to_pandas()
+        attrs = pq.read_table(f"{image_dir}/attrs").to_pandas()
+        # brute-force oracle on a sample of entities
+        for entity in ["img-000000000", "img-000000033"]:
+            sub = df[df["image_id"] == entity].sort_values("event_ts")
+            asub = attrs[attrs["image_id"] == entity].sort_values("event_ts")
+            for _, row in sub.iterrows():
+                earlier = asub[asub["event_ts"] <= row["event_ts"]]
+                if len(earlier):
+                    assert row["attr"] == earlier["attr"].iloc[-1]
+                else:
+                    assert pd.isna(row["attr"])
+
+
+class TestResumableWrite:
+    def test_write_resume_skip(self, ray_session, image_dir, tmp_path):
+        import ray.data
+
+        out_dir = str(tmp_path / "out")
+        ds = ray.data.read_parquet(f"{image_dir}/attrs")
+        m1 = resumable_write(ds, out_dir, key="image_id", num_buckets=4)
+        assert len(m1) == 4
+        assert not m1["skipped"].any()
+        manifests = load_manifests(out_dir)
+        assert len(manifests) == 4
+        total_rows = sum(m["rows"] for m in manifests)
+        assert total_rows == ds.count()
+
+        # second run: all partitions skipped, bytes identical
+        m2 = resumable_write(ds, out_dir, key="image_id", num_buckets=4)
+        assert m2["skipped"].all()
+        assert list(m2["content_hash"]) == list(m1["content_hash"])
+
+    def test_partial_resume_after_crash(self, ray_session, image_dir, tmp_path):
+        """Delete one partition's manifest (simulated crash between data
+        file and manifest) -> only that partition is rewritten, output
+        byte-equal."""
+        import ray.data
+
+        out_dir = str(tmp_path / "out2")
+        ds = ray.data.read_parquet(f"{image_dir}/attrs")
+        m1 = resumable_write(ds, out_dir, key="image_id", num_buckets=4)
+        victim = int(m1["pid"].iloc[1])
+        os.remove(os.path.join(out_dir, "_manifest", f"{victim:05d}.json"))
+
+        m2 = resumable_write(ds, out_dir, key="image_id", num_buckets=4)
+        redone = m2[~m2["skipped"]]
+        assert list(redone["pid"]) == [victim]
+        # content hash of the redone partition matches the original
+        assert (
+            m2.set_index("pid").loc[victim, "content_hash"]
+            == m1.set_index("pid").loc[victim, "content_hash"]
+        )
+
+    def test_checkpointed_pipeline_end_to_end(self, ray_session, image_dir, tmp_path):
+        out_dir = str(tmp_path / "feat")
+        metrics, model = image_feature_pipeline(
+            image_dir, num_buckets=4, out_dir=out_dir
+        )
+        assert metrics["rows"].sum() == 300
+        import pyarrow.parquet as pq
+
+        written = pq.read_table(out_dir).to_pandas()
+        assert len(written) == 300

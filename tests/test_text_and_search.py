@@ -1,0 +1,141 @@
+"""Text analysis stage + similarity search pipelines."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mobray.functions.textfns import (
+    bpe_token_count,
+    detect_language,
+    quality_metrics,
+    rolling_fingerprint,
+    ws_token_count,
+)
+from mobray.pipelines.simsearch import knn_bruteforce, knn_ivf, train_centroids
+from mobray.stages.text import TextAnalysisStage
+
+
+class TestTextFns:
+    def test_token_counts(self):
+        s = pd.Series(["one two three", "", "a b"])
+        np.testing.assert_array_equal(ws_token_count(s), [3, 0, 2])
+        assert bpe_token_count(pd.Series(["hello, world!"]))[0] == 4  # hello , world !
+
+    def test_quality_metrics(self):
+        q = quality_metrics(pd.Series(["the cat sat on the mat with a hat", "!!!"]))
+        assert q["n_tokens"][0] == 9
+        assert q["quality_score"][0] > q["quality_score"][1]
+        assert 0 <= q["quality_score"].min() and q["quality_score"].max() <= 1
+
+    def test_langid(self):
+        texts = pd.Series(
+            [
+                "the cat is on the mat and it is warm",
+                "der Hund ist nicht mit der Katze auf dem Dach und das ist gut",
+                "el perro es grande y la casa es blanca con un jardin",
+                "le chien est dans la maison et les enfants sont pour le parc",
+                "zzzz qqqq xxxx",
+            ]
+        )
+        out = detect_language(texts)
+        assert list(out) == ["en", "de", "es", "fr", "und"]
+
+    def test_fingerprint_stability(self):
+        s = pd.Series(["alpha beta gamma delta epsilon zeta eta theta iota kappa"])
+        f1 = rolling_fingerprint(s)
+        f2 = rolling_fingerprint(s.copy())
+        assert f1[0] == f2[0] != 0
+        # a local edit far from the minimizing window often preserves it;
+        # at minimum the fingerprint stays deterministic and non-zero
+        assert rolling_fingerprint(pd.Series([""]))[0] == 0
+
+
+class TestTextStage:
+    def test_on_documents(self, ray_session, sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        out = ds.map_batches(
+            TextAnalysisStage, batch_format="pyarrow", concurrency=2
+        ).to_pandas()
+        assert {"n_ws_tokens", "n_bpe_tokens", "quality_score", "lang_pred", "fingerprint"} <= set(out.columns)
+        assert (out["n_ws_tokens"] > 0).all()
+        # oracle: whitespace token count == duckdb's split count
+        import duckdb
+
+        con = duckdb.connect()
+        oracle = con.sql(
+            f"""SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n
+                FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"""
+        ).df()
+        con.close()
+        got = out.sort_values("doc_id")["n_ws_tokens"].to_numpy()
+        np.testing.assert_array_equal(got, oracle["n"].to_numpy())
+
+
+class TestKnn:
+    @pytest.fixture(scope="class")
+    def emb_df(self):
+        rng = np.random.RandomState(9)
+        emb = rng.normal(size=(200, 32))
+        return pd.DataFrame({"vec_id": range(200), "embedding": list(emb)})
+
+    def test_bruteforce_exact(self, ray_session, emb_df):
+        import ray.data
+
+        queries = np.array(emb_df["embedding"].tolist())[:3]  # query = rows 0..2
+        out = knn_bruteforce(
+            ray.data.from_pandas(emb_df).repartition(4),
+            "embedding",
+            "vec_id",
+            queries,
+            k=5,
+        )
+        # numpy oracle
+        emb = np.array(emb_df["embedding"].tolist())
+        embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = qn @ embn.T
+        for qi in range(3):
+            expect = set(np.argsort(-sims[qi])[:5])
+            got = set(out[out["query_id"] == qi]["id"])
+            assert got == expect
+            # rank 1 is the query row itself (cosine 1.0)
+            top1 = out[(out["query_id"] == qi) & (out["rank"] == 1)]
+            assert top1["id"].iloc[0] == qi
+            assert top1["cosine"].iloc[0] == pytest.approx(1.0)
+
+    def test_ivf_recall(self, ray_session, emb_df):
+        import ray.data
+
+        ds = ray.data.from_pandas(emb_df).repartition(4)
+        queries = np.array(emb_df["embedding"].tolist())[:5]
+        exact = knn_bruteforce(ds, "embedding", "vec_id", queries, k=3)
+        approx = knn_ivf(
+            ds, "embedding", "vec_id", queries, k=3, n_centroids=8, n_probe=4
+        )
+        # top-1 recall should be high with half the centroids probed
+        hits = 0
+        for qi in range(5):
+            e1 = exact[(exact["query_id"] == qi) & (exact["rank"] == 1)]["id"].iloc[0]
+            a = approx[approx["query_id"] == qi]["id"].tolist()
+            hits += e1 in a
+        assert hits >= 4
+
+    def test_on_real_embeddings(self, ray_session, sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        first = np.array(ds.take(2)[0]["embedding"], dtype=float)
+        out = knn_bruteforce(ds, "embedding", "vec_id", first[None, :], k=3)
+        assert len(out) == 3
+        assert out[out["rank"] == 1]["cosine"].iloc[0] == pytest.approx(1.0)
+
+    def test_centroids_trainable(self, ray_session, emb_df):
+        import ray.data
+
+        cent = train_centroids(
+            ray.data.from_pandas(emb_df), "embedding", n_centroids=8
+        )
+        assert cent.shape == (8, 32)
+        np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
