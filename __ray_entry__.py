@@ -1,44 +1,565 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the mobray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship operator chain (binning fit -> woe/interval
+transform -> as-of join -> fused windows/sessionize) on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+op is SQL-expressible (the rest get the driver's rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module; nothing
+here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers do not inherit the driver's sys.path mutations; register the
+# engine's modules for pickle-by-value so closures shipping mobray
+# functions work even when workers cannot import the package themselves.
+def _register_by_value() -> None:
+    try:
+        import mobray.core.binner  # noqa: F401
+        import mobray.pipelines.dedup  # noqa: F401
+        import mobray.pipelines.features  # noqa: F401
+        import mobray.pipelines.fit  # noqa: F401
+        import mobray.pipelines.simsearch  # noqa: F401
+        import mobray.pipelines.temporal  # noqa: F401
+        import mobray.sources.imagegen  # noqa: F401
+        import mobray.stages.binning  # noqa: F401
+        import mobray.stages.decode  # noqa: F401
+        import mobray.stages.text  # noqa: F401
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name == "mobray" or name.startswith("mobray."):
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+_register_by_value()
+
+_SF001 = "/root/testdata/sf0.001"
+_SF01 = "/root/testdata/sf0.01"  # oracle_sql edge computation runs at sf0.01
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship chain on sf0.001 events: distributed binning fit on
+    (value, is_purchase) -> WoE + interval transform -> as-of join of the
+    latest purchase value per user -> fused lag/backfill/sessionize."""
+    import pandas as pd
+    import ray.data
+
+    from mobray.pipelines.fit import fit_dataset, transform_dataset
+    from mobray.pipelines.temporal import asof_join
+
+    events = ray.data.read_parquet(f"{_SF001}/events.parquet")
+
+    def add_target(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        y = pc.cast(pc.equal(batch["event_type"], "purchase"), pa.float64())
+        return batch.append_column("is_purchase", y)
+
+    ds = events.map_batches(add_target, batch_format="pyarrow")
+    model = fit_dataset(ds, "value", "is_purchase")
+    scored = transform_dataset(ds, model, "value", assign="woe", out_col="value_woe")
+    scored = transform_dataset(scored, model, "value", assign="interval", out_col="value_bin")
+
+    purchases = ds.filter(lambda r: r["event_type"] == "purchase").map_batches(
+        lambda t: t.select(["user_id", "ts", "value"]).rename_columns(
+            ["user_id", "ts", "purchase_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def windows(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        grouped = g.groupby("user_id", sort=False)
+        g["purchase_value_filled"] = grouped["purchase_value"].ffill()
+        g["value_lag1"] = grouped["value"].shift(1)
+        prev = grouped["ts"].shift(1)
+        new = prev.isna() | ((g["ts"] - prev) > pd.Timedelta("30min"))
+        g["session_seq"] = new.astype("int64").groupby(g["user_id"]).cumsum()
+        return g
+
+    return asof_join(
+        scored,
+        purchases,
+        key="user_id",
+        ts="ts",
+        right_cols=["purchase_value"],
+        num_buckets=8,
+        post_fn=windows,
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — callables over sf_dir
+# --------------------------------------------------------------------------
+
+def _events(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem_xy(sf_dir):
+    """lineitem with x=l_quantity, binary y = (l_returnflag == 'R')."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+
+    def add_y(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        y = pc.cast(pc.equal(batch["l_returnflag"], "R"), pa.float64())
+        return batch.append_column("y", y)
+
+    return ds.map_batches(add_y, batch_format="pyarrow")
+
+
+def _fit_lineitem_model(sf_dir):
+    from mobray.pipelines.fit import fit_dataset
+
+    return fit_dataset(_lineitem_xy(sf_dir), "l_quantity", "y")
+
+
+def _core_lineitem_model(sf_dir):
+    """Single-node numpy-core fit — the independent oracle path."""
+    import pyarrow.parquet as pq
+
+    from mobray.core.binner import fit_binning
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+    x = t["l_quantity"].to_numpy()
+    y = (t["l_returnflag"].to_numpy(zero_copy_only=False) == "R").astype(float)
+    return fit_binning(x, y)
+
+
+def q_fit_groups(sf_dir):
+    """The fit's wide aggregation: per-distinct-x sufficient stats."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from mobray.stages.binning import make_partial_agg
+
+    ds = _lineitem_xy(sf_dir).select_columns(["l_quantity", "y"])
+    partials = ds.map_batches(
+        make_partial_agg("l_quantity", "y"), batch_format="pyarrow"
+    )
+    agg = (
+        partials.groupby(["tag", "xk"])
+        .aggregate(
+            Sum("nv", alias_name="n"),
+            Sum("s", alias_name="sum_y"),
+            Min("mn", alias_name="min_y"),
+            Max("mx", alias_name="max_y"),
+        )
+        .to_pandas()
+    )
+    out = agg[agg["tag"] == "c"].drop(columns="tag").rename(columns={"xk": "x"})
+    return out.sort_values("x").reset_index(drop=True)
+
+
+def q_bin_transform_counts(sf_dir):
+    """Distributed fit + transform, then count rows per bin label."""
+    from ray.data.aggregate import Count
+
+    from mobray.pipelines.fit import transform_dataset
+
+    model = _fit_lineitem_model(sf_dir)
+    scored = transform_dataset(
+        _lineitem_xy(sf_dir), model, "l_quantity", assign="interval", out_col="bucket"
+    )
+    out = scored.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_binning_bins(sf_dir):
+    """Full fitted bins table (PAVA + statistical merge — not SQL)."""
+    return _fit_lineitem_model(sf_dir).bins_df()
+
+
+def q_binning_summary(sf_dir):
+    """Summary with WoE/IV (not SQL-expressible)."""
+    return _fit_lineitem_model(sf_dir).summary_df()
+
+
+def q_asof_join_events(sf_dir):
+    from mobray.pipelines.temporal import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.filter(lambda r: r["event_type"] == "view").map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    right = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
+        lambda t: t.select(["user_id", "ts", "value"]), batch_format="pyarrow"
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts", right_cols=["value"], num_buckets=16
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]), batch_format="pyarrow"
+    )
+
+
+def q_lag_lead_events(sf_dir):
+    from mobray.pipelines.temporal import lag_lead
+
+    out = lag_lead(
+        _events(sf_dir), "user_id", "ts", ["value"], lags=[1], leads=[1], num_buckets=16
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value_lag1", "value_lead1"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessionize_events(sf_dir):
+    from mobray.pipelines.temporal import sessionize
+
+    out = sessionize(_events(sf_dir), "user_id", "ts", gap="30min", num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "session_seq"]), batch_format="pyarrow"
+    )
+
+
+def q_backfill_events(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mobray.pipelines.temporal import backfill
+
+    def null_non_purchase(batch):
+        pv = pc.if_else(
+            pc.equal(batch["event_type"], "purchase"),
+            batch["value"],
+            pa.nulls(batch.num_rows, pa.float64()),
+        )
+        return batch.append_column("pv", pv)
+
+    ds = _events(sf_dir).map_batches(null_non_purchase, batch_format="pyarrow")
+    out = backfill(ds, "user_id", "ts", ["pv"], num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "pv_filled"]), batch_format="pyarrow"
+    )
+
+
+def q_tumbling_events(sf_dir):
+    import numpy as np
+
+    from mobray.pipelines.temporal import tumbling_window
+
+    out = tumbling_window(_events(sf_dir), "user_id", "ts", "1h", "value").to_pandas()
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return out[
+        ["user_id", "window_start", "n_events", "sum_value", "min_value", "max_value"]
+    ]
+
+
+def q_dedup_exact_docs(sf_dir):
+    import ray.data
+
+    from mobray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow"
+    )
+
+
+def q_text_tokens_docs(sf_dir):
+    import ray.data
+
+    from mobray.stages.text import TextAnalysisStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextAnalysisStage, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_ws_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_filter_docs(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    )
+    langs = pa.array(["en", "de"])
+
+    def flt(t: "pa.Table") -> "pa.Table":
+        mask = pc.and_(
+            pc.greater_equal(t["n_chars"], 200), pc.is_in(t["lang"], value_set=langs)
+        )
+        return t.filter(mask).select(["doc_id"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def q_lang_counts_docs(sf_dir):
+    from ray.data.aggregate import Count
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_orders_status_agg(sf_dir):
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_total"))
+        .to_pandas()
+    )
+    out["sum_total"] = np.round(out["sum_total"], 2)
+    return out
+
+
+def q_customer_nation_join(sf_dir):
+    """Broadcast hash join: tiny nation table shipped once via closure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def add_nation(batch: "pa.Table") -> "pa.Table":
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [lookup.get(int(k)) for k in keys]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    return (
+        ds.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_knn_cosine(sf_dir):
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.simsearch import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.array(ds.take(1)[0]["embedding"], dtype=float)
+    out = knn_bruteforce(ds, "embedding", "vec_id", q0[None, :], k=5)
+    out = out.rename(columns={"id": "vec_id"})
+    return out[["vec_id"]]
+
+
+def q_knn_ivf(sf_dir):
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.simsearch import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.array(ds.take(1)[0]["embedding"], dtype=float)
+    out = knn_ivf(ds, "embedding", "vec_id", q0[None, :], k=5, n_centroids=8, n_probe=4)
+    out = out.rename(columns={"id": "vec_id"})
+    return out[["vec_id"]]
+
+
+def q_minhash_dedup_docs(sf_dir):
+    import ray.data
+
+    from mobray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7)
+
+
+def q_simhash_pairs_docs(sf_dir):
+    import ray.data
+
+    from mobray.pipelines.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id", hamming_radius=3)
+
+
+def q_quality_docs(sf_dir):
+    import ray.data
+
+    from mobray.stages.text import TextAnalysisStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextAnalysisStage, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "quality_score", "lang_pred", "fingerprint"]),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "fit_groups": q_fit_groups,
+        "bin_transform_counts": q_bin_transform_counts,
+        "binning_bins": q_binning_bins,
+        "binning_summary": q_binning_summary,
+        "asof_join_events": q_asof_join_events,
+        "lag_lead_events": q_lag_lead_events,
+        "sessionize_events": q_sessionize_events,
+        "backfill_events": q_backfill_events,
+        "tumbling_events": q_tumbling_events,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_tokens_docs": q_text_tokens_docs,
+        "filter_docs": q_filter_docs,
+        "lang_counts_docs": q_lang_counts_docs,
+        "orders_status_agg": q_orders_status_agg,
+        "customer_nation_join": q_customer_nation_join,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "quality_docs": q_quality_docs,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+def _transform_case_sql() -> str:
+    """CASE expression reproducing the fitted bin labels; edges come from
+    the SINGLE-NODE numpy core fit at sf0.01 (the independent oracle
+    path), so this genuinely cross-checks the distributed fit+transform."""
+    model = _core_lineitem_model(_SF01)
+    clauses = []
+    for i in range(model.n_bins - 1):
+        clauses.append(
+            f"WHEN l_quantity < {model.rights[i]!r} THEN '{model.labels[i]}'"
+        )
+    case = "CASE " + " ".join(clauses) + f" ELSE '{model.labels[-1]}' END"
+    return (
+        f"SELECT {case} AS bucket, count(*) AS n FROM lineitem "
+        f"GROUP BY 1 ORDER BY bucket"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fit_groups": """
+            SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE) AS sum_y,
+                   CAST(min(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE) AS min_y,
+                   CAST(max(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE) AS max_y
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "bin_transform_counts": _transform_case_sql(),
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, r.value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='view') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "lag_lead_events": """
+            SELECT event_id,
+                   LAG(value)  OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1,
+                   LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead1
+            FROM events
+        """,
+        "sessionize_events": """
+            SELECT event_id,
+                   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+            FROM (SELECT event_id, user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+        """,
+        "backfill_events": """
+            SELECT event_id,
+                   LAST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_filled
+            FROM events
+        """,
+        "tumbling_events": """
+            SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "text_tokens_docs": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+            FROM documents
+        """,
+        "filter_docs": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND lang IN ('en', 'de')
+        """,
+        "lang_counts_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "orders_status_agg": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders GROUP BY 1
+        """,
+        "customer_nation_join": """
+            SELECT n.n_name, count(*) AS n
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "knn_cosine": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
+            LIMIT 5
+        """,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    ds = entry()
+    print(ds.schema())
+    print("rows:", ds.count())
+    ray.shutdown()

@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Benchmark harness for the mobray engine.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N}
+
+The headline is the flagship image feature pipeline (binning fit +
+woe transform + as-of join + fused windows + checkpointed write) over a
+deterministic synthetic image table sized to the scale factor; the image
+table is generated once (Ray-parallel) and cached under /tmp.
+
+``--scaling``: runs the same bench twice in fresh subprocesses at 8 and
+32 CPUs on the same input and reports throughput at both plus scaling
+efficiency, appending the result to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# image-table scale per sf: entities x snapshots rows
+_SF_ENTITIES = {"sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000}
+SNAPSHOTS = 8
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _sf_value() -> float:
+    try:
+        return float(_sf_name().replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def image_table_dir() -> str:
+    return f"/tmp/mobray_bench_images_{_sf_name()}"
+
+
+def ensure_image_table() -> str:
+    from mobray.sources.imagegen import generate_image_table
+
+    n_entities = _SF_ENTITIES.get(_sf_name(), 1500)
+    d = image_table_dir()
+    generate_image_table(
+        d, n_entities=n_entities, snapshots=SNAPSHOTS, seed=42, use_ray=True
+    )
+    return d
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def bench_image_features(img_dir: str) -> tuple:
+    """Headline: entity x timestamp feature rows/sec, checkpointed write."""
+    from mobray.pipelines.features import image_feature_pipeline
+
+    out_dir = f"/tmp/mobray_bench_out_{_sf_name()}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sec, (metrics, _model) = timed(
+        lambda: image_feature_pipeline(img_dir, num_buckets=max(32, NUM_CPUS * 2),
+                                       out_dir=out_dir)
+    )
+    rows = int(metrics["rows"].sum())
+    return sec, rows
+
+
+def bench_fit_lineitem() -> float:
+    import ray.data
+
+    from mobray.pipelines.fit import fit_dataset
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    sec, _ = timed(lambda: fit_dataset(ds, "l_quantity", "l_extendedprice"))
+    return sec
+
+
+def bench_transform_lineitem() -> float:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mobray.core.binner import fit_binning
+    from mobray.pipelines.fit import transform_dataset
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    model = fit_binning(t["l_quantity"].to_numpy(), t["l_extendedprice"].to_numpy())
+    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_quantity"])
+
+    def run():
+        out = transform_dataset(ds, model, "l_quantity", assign="interval")
+        return out.count()
+
+    sec, _ = timed(run)
+    return sec
+
+
+def bench_asof_windows() -> float:
+    import pandas as pd
+    import ray.data
+
+    from mobray.pipelines.temporal import asof_join
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    left = ev.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow",
+    )
+    right = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
+        lambda t: t.select(["user_id", "ts", "value"]).rename_columns(
+            ["user_id", "ts", "pval"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def windows(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        grouped = g.groupby("user_id", sort=False)
+        g["value_lag1"] = grouped["value"].shift(1)
+        g["pval_filled"] = grouped["pval"].ffill()
+        prev = grouped["ts"].shift(1)
+        new = prev.isna() | ((g["ts"] - prev) > pd.Timedelta("30min"))
+        g["session_seq"] = new.astype("int64").groupby(g["user_id"]).cumsum()
+        return g
+
+    def run():
+        out = asof_join(
+            left, right, key="user_id", ts="ts", right_cols=["pval"],
+            num_buckets=max(32, NUM_CPUS * 2), post_fn=windows,
+        )
+        return out.count()
+
+    sec, _ = timed(run)
+    return sec
+
+
+def bench_minhash_docs() -> float:
+    import ray.data
+
+    from mobray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sec, _ = timed(lambda: minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8))
+    return sec
+
+
+def bench_knn() -> float:
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.simsearch import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ds.take(16)
+    queries = np.array([r["embedding"] for r in rows], dtype=float)
+    sec, _ = timed(lambda: knn_bruteforce(ds, "embedding", "vec_id", queries, k=10))
+    return sec
+
+
+def warm_cache():
+    for name in ("lineitem", "events", "documents", "embeddings"):
+        p = f"{SF_DIR}/{name}.parquet"
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def warm_workers():
+    """Spin up the Ray worker pool (process fork + heavy imports) before
+    any timed pipeline, so measurements capture compute, not cold start."""
+    import pandas as pd
+    import ray.data
+
+    def noop(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return batch
+
+    ray.data.range(NUM_CPUS * 1000).map_batches(
+        noop, batch_format="pandas", batch_size=100
+    ).count()
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    warm_cache()
+    img_dir = ensure_image_table()
+    warm_workers()
+
+    queries = {}
+    headline_sec, feature_rows = bench_image_features(img_dir)
+    queries["image_features"] = round(headline_sec, 3)
+    queries["fit_lineitem"] = round(bench_fit_lineitem(), 3)
+    queries["transform_lineitem"] = round(bench_transform_lineitem(), 3)
+    queries["asof_windows_events"] = round(bench_asof_windows(), 3)
+    queries["minhash_docs"] = round(bench_minhash_docs(), 3)
+    queries["knn_embeddings"] = round(bench_knn(), 3)
+
+    result = {
+        "metric": "image_feature_pipeline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "feature_rows": feature_rows,
+        "feature_rows_per_sec": round(feature_rows / headline_sec, 1),
+        "sf": _sf_value(),
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "rows_per_sec_lo": r_lo["feature_rows_per_sec"],
+        "rows_per_sec_hi": r_hi["feature_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+    print(json.dumps(result))
+    _record_baseline(result)
+
+
+def _record_baseline(result: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    marker = "## Measured scaling (bench.py --scaling)"
+    entry = (
+        f"\n{marker}\n\n"
+        f"| sf | cpus lo/hi | sec lo | sec hi | rows/s lo | rows/s hi | efficiency |\n"
+        f"|---|---|---|---|---|---|---|\n"
+        f"| {result['sf']} | {result['cpus_lo']}/{result['cpus_hi']} "
+        f"| {result['sec_lo']} | {result['sec_hi']} "
+        f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
+        f"| {result['scaling_efficiency']} |\n"
+    )
+    try:
+        with open(path) as f:
+            content = f.read()
+        if marker in content:
+            content = content[: content.index(marker)].rstrip() + "\n" + entry
+        else:
+            content = content.rstrip() + "\n" + entry
+        with open(path, "w") as f:
+            f.write(content)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -25,7 +25,7 @@ from typing import Optional
 import pandas as pd
 
 from mobray.core.constraints import BinningConstraints
-from mobray.pipelines.fit import fit_dataset, transform_dataset
+from mobray.pipelines.fit import fit_dataset, multi_transform_dataset
 from mobray.pipelines.temporal import asof_join
 from mobray.sources.imagegen import read_attrs_table, read_image_table
 from mobray.stages.decode import DecodeVerifyStage, image_feature_stage
@@ -34,12 +34,16 @@ META_COLS = ["image_id", "w", "h", "fmt", "phash", "event_ts", "label"]
 
 
 def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
-                        session_gap: str = "30min"):
+                        session_gap: str = "30min",
+                        out_dir=None, num_buckets: int = 32):
     """Per-bucket window features fused into the as-of join pass:
-    lag/lead of the joined attr, backfill, session ids."""
+    lag/lead of the joined attr, backfill, session ids. If ``out_dir`` is
+    set, the partition is ALSO written (checkpointed, idempotent) inside
+    the same pass and only its metrics row is returned — the whole job
+    then has exactly one all-to-all exchange after the fit."""
     gap = pd.Timedelta(session_gap)
 
-    def post(merged: pd.DataFrame) -> pd.DataFrame:
+    def _windows(merged: pd.DataFrame) -> pd.DataFrame:
         g = merged.sort_values([key, ts], kind="stable")
         grouped = g.groupby(key, sort=False)
         g["attr_lag1"] = grouped["attr"].shift(1)
@@ -51,7 +55,27 @@ def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
         g["session_seq"] = g.groupby(key, sort=False)["__new"].cumsum()
         return g.drop(columns="__new")
 
-    return post
+    if out_dir is None:
+        return _windows
+
+    import numpy as np
+
+    from mobray.pipelines.temporal import _hash_bucket
+    from mobray.state.checkpoint import write_partition
+
+    def _windows_and_write(merged: pd.DataFrame) -> pd.DataFrame:
+        g = _windows(merged)
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"pid": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64"),
+                 "bytes": pd.Series(dtype="int64"), "wall_s": pd.Series(dtype="float64"),
+                 "skipped": pd.Series(dtype="bool"),
+                 "content_hash": pd.Series(dtype="object")}
+            )
+        pid = int(_hash_bucket(np.array([g[key].iloc[0]], dtype=object), num_buckets)[0])
+        return pd.DataFrame([write_partition(g, out_dir, pid)])
+
+    return _windows_and_write
 
 
 def image_feature_pipeline(
@@ -78,10 +102,14 @@ def image_feature_pipeline(
         constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
     )
 
-    scored = transform_dataset(feats, model, "pop", assign="woe", out_col="pop_woe")
-    scored = transform_dataset(scored, model, "pop", assign="interval", out_col="pop_bin")
+    scored = multi_transform_dataset(
+        feats, model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+    )
 
     attrs = read_attrs_table(data_dir)
+    post = make_window_post_fn(
+        session_gap=session_gap, out_dir=out_dir, num_buckets=num_buckets
+    )
     features = asof_join(
         scored,
         attrs,
@@ -89,14 +117,12 @@ def image_feature_pipeline(
         ts="event_ts",
         right_cols=["attr"],
         num_buckets=num_buckets,
-        post_fn=make_window_post_fn(session_gap=session_gap),
+        post_fn=post,
     )
 
     if out_dir is not None:
-        from mobray.state.checkpoint import resumable_write
-
-        metrics = resumable_write(
-            features, out_dir, key="image_id", num_buckets=num_buckets
+        metrics = (
+            features.to_pandas().sort_values("pid").reset_index(drop=True)
         )
         return metrics, model
     return features, model

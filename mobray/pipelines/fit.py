@@ -163,3 +163,22 @@ def transform_dataset(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def multi_transform_dataset(
+    ds,
+    model: BinningModel,
+    x: str,
+    assigns: dict,
+    *,
+    batch_size: int = 65536,
+):
+    """Append several assignment columns ({out_col: assign}) in ONE
+    map_batches stage."""
+    from mobray.stages.binning import make_multi_transform_stage
+
+    return ds.map_batches(
+        make_multi_transform_stage(model, x, assigns),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

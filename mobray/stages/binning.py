@@ -143,6 +143,28 @@ def make_partial_agg(
     return partial_agg
 
 
+def make_multi_transform_stage(
+    model, x: str, assigns: dict
+) -> Callable[[pa.Table], pa.Table]:
+    """One stage appending several assignment columns ({out_col: assign})
+    from a single values extraction — fewer operators than chaining
+    make_transform_stage per assign."""
+    from mobray.core.binner import transform_values
+
+    def score(batch: pa.Table) -> pa.Table:
+        vals = _to_float_np(batch[x])
+        for out_col, assign in assigns.items():
+            out = transform_values(model, vals, assign)
+            if assign == "interval":
+                arr = pa.array(out.tolist(), pa.string())
+            else:
+                arr = pa.array(out, pa.float64())
+            batch = batch.append_column(out_col, arr)
+        return batch
+
+    return score
+
+
 def make_transform_stage(
     model,
     x: str,

@@ -67,6 +67,50 @@ def _is_done(out_dir: str, pid: int) -> Optional[Dict]:
         return None
 
 
+def write_partition(g: pd.DataFrame, out_dir: str, pid: int, job_id: str = "job") -> Dict:
+    """Write one partition idempotently (skip if manifest valid); returns
+    its metrics record. Usable from any per-bucket function so the write
+    can be FUSED into an existing shuffle."""
+    t0 = time.time()
+    existing = _is_done(out_dir, pid)
+    if existing is not None:
+        return {
+            "pid": pid,
+            "rows": existing["rows"],
+            "bytes": existing["bytes"],
+            "wall_s": 0.0,
+            "skipped": True,
+            "content_hash": existing["content_hash"],
+        }
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    ppath = _part_path(out_dir, pid)
+    tmp = ppath + f".tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+    os.replace(tmp, ppath)
+    chash = _content_hash(g)
+    manifest = {
+        "pid": pid,
+        "job_id": job_id,
+        "rows": int(len(g)),
+        "bytes": int(os.path.getsize(ppath)),
+        "content_hash": chash,
+        "wall_s": round(time.time() - t0, 4),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    mtmp = _manifest_path(out_dir, pid) + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, _manifest_path(out_dir, pid))
+    return {
+        "pid": pid,
+        "rows": manifest["rows"],
+        "bytes": manifest["bytes"],
+        "wall_s": manifest["wall_s"],
+        "skipped": False,
+        "content_hash": chash,
+    }
+
+
 def resumable_write(
     ds,
     out_dir: str,
@@ -85,61 +129,14 @@ def resumable_write(
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     bucketed = ds if BUCKET_COL in ds.schema().names else with_buckets(ds, key, num_buckets)
 
-    def write_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g[BUCKET_COL].iloc[0])
         g = g.drop(columns=[BUCKET_COL])
-        t0 = time.time()
-        existing = _is_done(out_dir, pid)
-        if existing is not None:
-            return pd.DataFrame(
-                [
-                    {
-                        "pid": pid,
-                        "rows": existing["rows"],
-                        "bytes": existing["bytes"],
-                        "wall_s": 0.0,
-                        "skipped": True,
-                        "content_hash": existing["content_hash"],
-                    }
-                ]
-            )
-        ppath = _part_path(out_dir, pid)
-        tmp = ppath + f".tmp-{os.getpid()}"
-        table = pa.Table.from_pandas(g, preserve_index=False)
-        pq.write_table(table, tmp)
-        os.replace(tmp, ppath)
-        chash = _content_hash(g)
-        manifest = {
-            "pid": pid,
-            "job_id": job_id,
-            "rows": int(len(g)),
-            "bytes": int(os.path.getsize(ppath)),
-            "content_hash": chash,
-            "key": key,
-            "num_buckets": num_buckets,
-            "wall_s": round(time.time() - t0, 4),
-            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }
-        mtmp = _manifest_path(out_dir, pid) + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, _manifest_path(out_dir, pid))
-        return pd.DataFrame(
-            [
-                {
-                    "pid": pid,
-                    "rows": manifest["rows"],
-                    "bytes": manifest["bytes"],
-                    "wall_s": manifest["wall_s"],
-                    "skipped": False,
-                    "content_hash": chash,
-                }
-            ]
-        )
+        return pd.DataFrame([write_partition(g, out_dir, pid, job_id)])
 
     metrics = (
         bucketed.groupby(BUCKET_COL)
-        .map_groups(write_partition, batch_format="pandas")
+        .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("pid")
         .reset_index(drop=True)
