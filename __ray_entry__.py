@@ -82,12 +82,16 @@ def entry() -> Any:
     scored = transform_dataset(ds, model, "value", assign="woe", out_col="value_woe")
     scored = transform_dataset(scored, model, "value", assign="interval", out_col="value_bin")
 
-    purchases = ds.filter(lambda r: r["event_type"] == "purchase").map_batches(
-        lambda t: t.select(["user_id", "ts", "value"]).rename_columns(
-            ["user_id", "ts", "purchase_value"]
-        ),
-        batch_format="pyarrow",
-    )
+    def purchases_only(t):
+        import pyarrow.compute as pc
+
+        return (
+            t.filter(pc.equal(t["event_type"], "purchase"))
+            .select(["user_id", "ts", "value"])
+            .rename_columns(["user_id", "ts", "purchase_value"])
+        )
+
+    purchases = ds.map_batches(purchases_only, batch_format="pyarrow")
 
     def windows(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -210,12 +214,22 @@ def q_asof_join_events(sf_dir):
     from mobray.pipelines.temporal import asof_join
 
     ev = _events(sf_dir)
-    left = ev.filter(lambda r: r["event_type"] == "view").map_batches(
-        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
-    )
-    right = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
-        lambda t: t.select(["user_id", "ts", "value"]), batch_format="pyarrow"
-    )
+    def views_only(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["event_type"], "view")).select(
+            ["event_id", "user_id", "ts"]
+        )
+
+    def purchases_only(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "ts", "value"]
+        )
+
+    left = ev.map_batches(views_only, batch_format="pyarrow")
+    right = ev.map_batches(purchases_only, batch_format="pyarrow")
     out = asof_join(
         left, right, key="user_id", ts="ts", right_cols=["value"], num_buckets=16
     )

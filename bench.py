@@ -33,8 +33,9 @@ if REPO not in sys.path:
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# image-table scale per sf: entities x snapshots rows
-_SF_ENTITIES = {"sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000}
+# image-table scale per sf: entities x snapshots rows. Sized so the
+# headline job is compute-bound (decode dominates) at 32 CPUs.
+_SF_ENTITIES = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
 SNAPSHOTS = 8
 
 
@@ -71,16 +72,23 @@ def timed(fn):
 
 
 def bench_image_features(img_dir: str) -> tuple:
-    """Headline: entity x timestamp feature rows/sec, checkpointed write."""
-    from mobray.pipelines.features import image_feature_pipeline
+    """Headline: the full north-star job — decode/verify every image
+    (actor pool, PSNR/phash gates) + binned/as-of-joined/windowed feature
+    rows with a checkpointed write. Reported as feature rows/sec."""
+    from mobray.pipelines.features import full_job
 
     out_dir = f"/tmp/mobray_bench_out_{_sf_name()}_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    sec, (metrics, _model) = timed(
-        lambda: image_feature_pipeline(img_dir, num_buckets=max(32, NUM_CPUS * 2),
-                                       out_dir=out_dir)
+    sec, (metrics, _model, report) = timed(
+        lambda: full_job(
+            img_dir,
+            out_dir,
+            num_buckets=max(32, NUM_CPUS * 2),
+            decode_concurrency=max(2, NUM_CPUS - 2),
+        )
     )
     rows = int(metrics["rows"].sum())
+    assert report["n_psnr_ge_40"] == report["n"], "PSNR gate failed"
     return sec, rows
 
 
@@ -128,12 +136,16 @@ def bench_asof_windows() -> float:
         lambda t: t.select(["event_id", "user_id", "ts", "value"]),
         batch_format="pyarrow",
     )
-    right = ev.filter(lambda r: r["event_type"] == "purchase").map_batches(
-        lambda t: t.select(["user_id", "ts", "value"]).rename_columns(
-            ["user_id", "ts", "pval"]
-        ),
-        batch_format="pyarrow",
-    )
+    def purchases_only(t):
+        import pyarrow.compute as pc
+
+        return (
+            t.filter(pc.equal(t["event_type"], "purchase"))
+            .select(["user_id", "ts", "value"])
+            .rename_columns(["user_id", "ts", "pval"])
+        )
+
+    right = ev.map_batches(purchases_only, batch_format="pyarrow")
 
     def windows(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["user_id", "ts"], kind="stable")
@@ -161,7 +173,11 @@ def bench_minhash_docs() -> float:
 
     from mobray.pipelines.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=NUM_CPUS * 2,
+    )
     sec, _ = timed(lambda: minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8))
     return sec
 

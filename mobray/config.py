@@ -36,5 +36,37 @@ class EngineConfig:
     decode_batch_bytes: int = 64 * 1024 * 1024
     num_buckets: int = 64
 
+    def to_json(self) -> str:
+        import json
+        from dataclasses import asdict
+
+        return json.dumps(asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "EngineConfig":
+        import json
+
+        return EngineConfig(**json.loads(s))
+
+    @staticmethod
+    def from_env(prefix: str = "MOBRAY_") -> "EngineConfig":
+        """Environment overrides (the reference reads MOBPY_* env vars,
+        MOBPY/config.py:145-221): MOBRAY_EPSILON, MOBRAY_TARGET_BATCH_SIZE,
+        MOBRAY_DECODE_BATCH_BYTES, MOBRAY_NUM_BUCKETS."""
+        import os
+
+        kwargs = {}
+        casts = {
+            "epsilon": float,
+            "target_batch_size": int,
+            "decode_batch_bytes": int,
+            "num_buckets": int,
+        }
+        for name, cast in casts.items():
+            raw = os.environ.get(prefix + name.upper())
+            if raw is not None:
+                kwargs[name] = cast(raw)
+        return EngineConfig(**kwargs)
+
 
 DEFAULT_CONFIG = EngineConfig()

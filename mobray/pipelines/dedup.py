@@ -78,7 +78,7 @@ def minhash_lsh_dedup(
     id_col: str,
     *,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.8,
 ):
@@ -115,21 +115,28 @@ def minhash_lsh_dedup(
         )
 
     def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        docs = g["doc"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+            return empty
+        docs = g["doc"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        m = len(docs)
         pairs = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                if docs[i] == docs[j]:
+        # vectorized pairwise signature agreement, row-chunked so the
+        # (chunk x m x num_perm) bool tensor stays bounded
+        chunk = max(1, (8 << 20) // max(1, m * sigs.shape[1]))
+        for start in range(0, m, chunk):
+            end = min(m, start + chunk)
+            est = (sigs[start:end, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.where(est >= threshold)
+            for i_off, j in zip(ii, jj):
+                i = start + i_off
+                if j <= i or docs[i] == docs[j]:
                     continue
-                est = estimate_jaccard(sigs[i], sigs[j])
-                if est >= threshold:
-                    lo, hi = sorted((docs[i], docs[j]))
-                    pairs.append((lo, hi, est))
+                lo, hi = sorted((docs[i], docs[j]))
+                pairs.append((lo, hi, float(est[i_off, j])))
         if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+            return empty
         return pd.DataFrame(pairs, columns=["a", "b", "est_jaccard"])
 
     pairs_df = (

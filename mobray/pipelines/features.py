@@ -128,6 +128,29 @@ def image_feature_pipeline(
     return features, model
 
 
+def full_job(
+    data_dir: str,
+    out_dir: str,
+    *,
+    num_buckets: int = 64,
+    decode_concurrency: int = 8,
+    constraints: Optional[BinningConstraints] = None,
+):
+    """The complete north-star job: decode/verify every image on an actor
+    pool (PSNR/phash gates) AND produce the binned + as-of-joined +
+    windowed feature rows with a checkpointed write.
+
+    Returns (metrics_df, model, decode_report)."""
+    report = decode_verification_report(data_dir, concurrency=decode_concurrency)
+    metrics, model = image_feature_pipeline(
+        data_dir,
+        constraints=constraints,
+        num_buckets=num_buckets,
+        out_dir=out_dir,
+    )
+    return metrics, model, report
+
+
 def decode_verification_report(data_dir: str, concurrency: int = 4) -> dict:
     """Decode every image on an actor pool and aggregate the verification
     gates: decode success, phash match, PSNR >= 40 dB, caption equality

@@ -43,8 +43,11 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     """Undo PNG scanline filters (types 0-4). Row-wise loop; each row is
     vectorized except Sub/Paeth which are inherently sequential."""
     stride = w * bpp
-    out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, 1 + stride)
+    # fast path: all scanlines unfiltered (what our encoder emits) -> one slice
+    if not rows[:, 0].any():
+        return np.ascontiguousarray(rows[:, 1:])
+    out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ftype = rows[r, 0]
         cur = rows[r, 1:].astype(np.int32)

@@ -236,10 +236,23 @@ def read_image_table(out_dir: str, columns: Optional[List[str]] = None):
     The ``bytes`` column dominates row width — every pipeline that does
     not decode pixels MUST pass ``columns=`` excluding it so blocks stay
     small and the fit shuffle never moves image payloads.
+
+    When ``bytes`` is pruned, Ray's block-size estimate (derived from the
+    on-disk file size, which IS mostly image bytes) over-splits each file
+    into many tiny blocks and per-task overhead dominates; pin one block
+    per shard file in that case (measured 10-20x on the metadata path).
     """
+    import glob
+
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(out_dir, "images"), columns=columns)
+    img_dir = os.path.join(out_dir, "images")
+    kwargs = {}
+    if columns is not None and "bytes" not in columns:
+        n_files = len(glob.glob(os.path.join(img_dir, "*.parquet")))
+        if n_files:
+            kwargs["override_num_blocks"] = n_files
+    return ray.data.read_parquet(img_dir, columns=columns, **kwargs)
 
 
 def read_attrs_table(out_dir: str):

@@ -1,0 +1,126 @@
+"""Reference-compatible API surface: MonotonicBinner wrapper, plot-data
+builders, config round-trips."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mobray.binner import MonotonicBinner
+from mobray.config import EngineConfig
+from mobray.core.constraints import BinningConstraints
+from mobray.core.pava import group_stats
+from mobray.exceptions import NotFittedError
+from mobray import plotdata
+
+
+def make_df(n=2000, seed=42):
+    rng = np.random.RandomState(seed)
+    x = np.round(np.linspace(-2, 3, n) + rng.normal(0, 0.15, n), 2)
+    p = 1.0 / (1.0 + np.exp(-1.4 * x))
+    y = (rng.uniform(size=n) < p).astype(float)
+    return pd.DataFrame({"x": x, "y": y})
+
+
+class TestMonotonicBinner:
+    def test_pandas_path(self):
+        b = MonotonicBinner(make_df(), "x", "y").fit()
+        bins = b.bins_()
+        summary = b.summary_()
+        assert bins["left"].iloc[0] == -np.inf
+        assert "woe" in summary.columns
+        assert b.resolved_sign_ == "+"
+        labels = b.transform(pd.Series([0.5, np.nan]))
+        assert labels.iloc[1] == "Missing"
+        woe = b.transform(pd.Series([0.5]), assign="woe")
+        assert np.isfinite(woe.iloc[0])
+
+    def test_ray_path_matches_pandas(self, ray_session):
+        import ray.data
+
+        df = make_df()
+        b_pd = MonotonicBinner(df, "x", "y").fit()
+        b_ray = MonotonicBinner(
+            ray.data.from_pandas(df).repartition(4), "x", "y"
+        ).fit()
+        np.testing.assert_allclose(b_pd.model_.lefts, b_ray.model_.lefts, rtol=1e-9)
+        assert b_pd.model_.labels == b_ray.model_.labels
+
+    def test_not_fitted_raises(self):
+        b = MonotonicBinner(make_df(), "x", "y")
+        with pytest.raises(NotFittedError):
+            b.bins_()
+
+    def test_metric_guard(self):
+        with pytest.raises(ValueError, match="metric"):
+            MonotonicBinner(make_df(), "x", "y", metric="median")
+
+    def test_diagnostics(self):
+        b = MonotonicBinner(make_df(), "x", "y").fit()
+        d = b.get_diagnostics()
+        assert d["is_binary"] and d["n_final_bins"] == b.model_.n_bins
+
+    def test_constraints_and_strategy_passthrough(self):
+        b = MonotonicBinner(
+            make_df(), "x", "y",
+            constraints=BinningConstraints(max_bins=3, min_bins=2),
+            merge_strategy="Size",
+        ).fit()
+        assert b.model_.n_bins <= 3
+
+
+class TestPlotData:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        df = make_df()
+        b = MonotonicBinner(df, "x", "y").fit()
+        groups = group_stats(df["x"].to_numpy(), df["y"].to_numpy())
+        return groups, b.model_
+
+    def test_gcm(self, fitted):
+        groups, _ = fitted
+        d = plotdata.gcm_data(groups)
+        assert {"cum_count", "cum_sum", "cum_mean", "group_mean"} <= set(d.columns)
+        assert d["cum_count"].is_monotonic_increasing
+
+    def test_pava_process(self, fitted):
+        groups, model = fitted
+        d = plotdata.pava_process_data(groups, model)
+        assert len(d["steps"]) == model.n_bins
+
+    def test_woe_bars(self, fitted):
+        _, model = fitted
+        d = plotdata.plot_woe_bars(model)
+        assert len(d) == model.n_bins
+
+    def test_event_rate(self, fitted):
+        _, model = fitted
+        d = plotdata.plot_event_rate(model)
+        assert d["count_pct"].sum() == pytest.approx(100.0)
+
+    def test_stability(self, fitted):
+        _, model = fitted
+        df2 = make_df(seed=7)
+        m2 = MonotonicBinner(df2, "x", "y").fit().model_
+        d = plotdata.binning_stability_data(model, m2)
+        assert "psi" in d.columns
+        assert np.isfinite(d["psi"]).all()
+
+    def test_boundaries_and_distribution(self, fitted):
+        _, model = fitted
+        b = plotdata.bin_boundaries_data(model)
+        assert len(b) == model.n_bins - 1
+        s = plotdata.sample_distribution_data(model)
+        assert "count_pct" in s.columns
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        c = EngineConfig(epsilon=1e-10, num_buckets=16)
+        c2 = EngineConfig.from_json(c.to_json())
+        assert c2 == c
+
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setenv("MOBRAY_EPSILON", "1e-8")
+        monkeypatch.setenv("MOBRAY_NUM_BUCKETS", "7")
+        c = EngineConfig.from_env()
+        assert c.epsilon == 1e-8 and c.num_buckets == 7
