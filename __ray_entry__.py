@@ -292,6 +292,54 @@ def q_tumbling_events(sf_dir):
     ]
 
 
+def q_rolling_events(sf_dir):
+    import numpy as np
+
+    from mobray.pipelines.temporal import rolling_window
+
+    out = rolling_window(
+        _events(sf_dir), "user_id", "ts", "value", window_rows=4, num_buckets=16
+    ).to_pandas()
+    out["value_rmean"] = np.round(out["value_rmean"], 6)
+    return out[["event_id", "value_rmean", "value_rmin", "value_rmax", "value_rcount"]]
+
+
+def q_topk_events(sf_dir):
+    from mobray.pipelines.temporal import topk_per_key
+
+    out = topk_per_key(_events(sf_dir), "user_id", "value", k=3, num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "rank", "value"]), batch_format="pyarrow"
+    )
+
+
+def q_session_stats_events(sf_dir):
+    import numpy as np
+
+    from mobray.pipelines.temporal import session_stats
+
+    out = session_stats(
+        _events(sf_dir), "user_id", "ts", "value", gap="30min", num_buckets=16
+    ).to_pandas()
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return out[["user_id", "session_seq", "n_events", "sum_value", "duration_us"]]
+
+
+def q_distinct_users(sf_dir):
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _events(sf_dir)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__c"))
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(lambda t: t.select(["event_type", "n_users"]), batch_format="pyarrow")
+    )
+
+
 def q_dedup_exact_docs(sf_dir):
     import ray.data
 
@@ -451,6 +499,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "backfill_events": q_backfill_events,
         "tumbling_events": q_tumbling_events,
+        "rolling_events": q_rolling_events,
+        "topk_events": q_topk_events,
+        "session_stats_events": q_session_stats_events,
+        "distinct_users": q_distinct_users,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_tokens_docs": q_text_tokens_docs,
         "filter_docs": q_filter_docs,
@@ -532,6 +584,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_events": """
+            SELECT event_id,
+                   round(AVG(value) OVER w, 6) AS value_rmean,
+                   MIN(value) OVER w AS value_rmin,
+                   MAX(value) OVER w AS value_rmax,
+                   COUNT(value) OVER w AS value_rcount
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_events": """
+            SELECT user_id, rank, value FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC) AS rank
+                FROM events)
+            WHERE rank <= 3
+        """,
+        "session_stats_events": """
+            WITH tagged AS (
+                SELECT user_id, ts, value,
+                       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+                FROM (SELECT user_id, ts, value,
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                      FROM events))
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   date_diff('microsecond', min(ts), max(ts)) AS duration_us
+            FROM tagged GROUP BY 1, 2
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

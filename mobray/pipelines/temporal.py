@@ -289,6 +289,95 @@ def asof_join_broadcast(
     return left.map_batches(fn, batch_format="pandas")
 
 
+def rolling_window(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    window_rows: int = 4,
+    num_buckets: int = 64,
+):
+    """Per-entity trailing rolling aggregates over the previous
+    ``window_rows`` rows (inclusive of current): mean/min/max/count.
+    SQL-equivalent: ``AVG(v) OVER (PARTITION BY key ORDER BY ts ROWS
+    BETWEEN {window_rows-1} PRECEDING AND CURRENT ROW)``. Only past rows
+    enter the window — no temporal leakage."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)[value_col]
+        roll = grouped.rolling(window=window_rows, min_periods=1)
+        g[f"{value_col}_rmean"] = roll.mean().reset_index(level=0, drop=True)
+        g[f"{value_col}_rmin"] = roll.min().reset_index(level=0, drop=True)
+        g[f"{value_col}_rmax"] = roll.max().reset_index(level=0, drop=True)
+        g[f"{value_col}_rcount"] = (
+            roll.count().reset_index(level=0, drop=True).astype("int64")
+        )
+        return g
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
+def topk_per_key(
+    ds,
+    key: str,
+    value_col: str,
+    k: int = 3,
+    descending: bool = True,
+    num_buckets: int = 64,
+):
+    """Top-k rows per entity by ``value_col`` with a rank column.
+    SQL-equivalent: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY v
+    DESC) <= k``. Ties broken deterministically by the value then input
+    order within the sorted bucket."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, value_col], ascending=[True, not descending],
+                          kind="stable")
+        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
+        return g[g["rank"] <= k]
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
+def session_stats(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    gap,
+    num_buckets: int = 64,
+):
+    """Session-level aggregates: one row per (entity, session) with
+    event count, duration (seconds), sum/mean of ``value_col``, start
+    and end timestamps. Built on the same gap rule as ``sessionize``."""
+    gap = pd.Timedelta(gap) if not isinstance(gap, pd.Timedelta) else gap
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grouped = g.groupby(key, sort=False)
+        prev = grouped[ts].shift(1)
+        new_session = prev.isna() | ((g[ts] - prev) > gap)
+        g["session_seq"] = new_session.astype("int64").groupby(g[key]).cumsum()
+        agg = (
+            g.groupby([key, "session_seq"], sort=False)
+            .agg(
+                n_events=(value_col, "count"),
+                sum_value=(value_col, "sum"),
+                session_start=(ts, "min"),
+                session_end=(ts, "max"),
+            )
+            .reset_index()
+        )
+        # integer microseconds (exact; float seconds would be inexact)
+        agg["duration_us"] = (
+            (agg["session_end"] - agg["session_start"]).dt.total_seconds() * 1e6
+        ).round().astype("int64")
+        return agg
+
+    return _per_bucket(ds, key, num_buckets, fn)
+
+
 def tumbling_window(
     ds,
     key: str,
