@@ -214,6 +214,76 @@ def validate_monotonicity(
     return True
 
 
+class PAVA:
+    """Class-style API mirroring the reference's ``PAVA`` composition
+    surface (MOBPY/core/pava.py:144-356, used directly per
+    MOBPY/core/__init__.py:29-43): construct with (df, x, y, sign,
+    strict), ``fit()``, then ``export_blocks()`` feeds
+    ``merge_adjacent``. ``df`` may be a pandas DataFrame or any mapping
+    of column name -> array."""
+
+    VALID_SORT_KINDS = {None, "quicksort", "mergesort", "heapsort", "stable"}
+
+    def __init__(
+        self,
+        *,
+        df,
+        x: str,
+        y: str,
+        metric: str = "mean",
+        sign: str = "auto",
+        strict: bool = True,
+        sort_kind: Optional[str] = "quicksort",
+    ):
+        if metric != "mean":
+            raise ValueError(
+                f"Only metric='mean' is supported in this version, got '{metric}'."
+            )
+        if sort_kind not in self.VALID_SORT_KINDS:
+            raise ValueError(
+                f"sort_kind must be one of {self.VALID_SORT_KINDS}, got {sort_kind!r}"
+            )
+        self.df = df
+        self.x = x
+        self.y = y
+        self.sign = sign
+        self.strict = strict
+        self.blocks_: List[Block] = []
+        self.groups_: Optional[GroupsTable] = None
+        self.resolved_sign_: Optional[str] = None
+
+    def fit(self) -> "PAVA":
+        try:
+            cols = set(self.df.columns)
+        except AttributeError:
+            cols = set(self.df.keys())
+        missing = [c for c in (self.x, self.y) if c not in cols]
+        if missing:
+            raise DataError(f"Missing columns in DataFrame: {missing}")
+        self.groups_ = group_stats(
+            np.asarray(self.df[self.x], dtype=float),
+            np.asarray(self.df[self.y], dtype=float),
+        )
+        self.blocks_, self.resolved_sign_ = run_pava(
+            self.groups_, sign=self.sign, strict=self.strict
+        )
+        return self
+
+    def export_blocks(self, as_dict: bool = True):
+        """Dict or legacy tuple format (MOBPY/core/pava.py:441-469)."""
+        if not self.blocks_:
+            raise DataError("No blocks available. Call fit() first.")
+        if as_dict:
+            return [b.as_dict() for b in self.blocks_]
+        return [
+            (b.left, b.right, b.n, b.sum, b.sum2, b.ymin, b.ymax)
+            for b in self.blocks_
+        ]
+
+    def validate_monotonicity(self, tolerance: float = 1e-10) -> bool:
+        return validate_monotonicity(self.blocks_, self.resolved_sign_ or "+", tolerance)
+
+
 def run_pava(
     groups: GroupsTable,
     sign: str = "auto",

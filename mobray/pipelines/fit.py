@@ -46,11 +46,22 @@ def fit_dataset(
     exclude_values: Optional[Iterable[float]] = None,
     merge_strategy: MergeStrategy | str = MergeStrategy.HIGHEST_PVALUE,
     batch_size: int = 65536,
+    max_distinct_x: Optional[int] = None,
+    prebucket_sample_rows: int = 100_000,
 ) -> BinningModel:
     """Fit a BinningModel on columns (x, y) of a Ray Dataset.
 
     Matches ``MonotonicBinner(df, x, y, ...).fit()`` semantics
     (MOBPY/binning/mob.py:173-305) with allclose numerics.
+
+    ``max_distinct_x``: the scale valve for high-cardinality continuous
+    features. The grouped table the driver reduces has one row per
+    distinct x — unbounded for continuous x at petabyte scale. When set,
+    a driver-side sample derives ``max_distinct_x`` quantile edges and
+    clean x values are snapped to their bucket's left edge inside the
+    partial pass, bounding shuffle volume and driver memory at
+    O(max_distinct_x). Off by default so conformance tests see the
+    reference's exact distinct-x semantics.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -59,8 +70,23 @@ def fit_dataset(
     if missing:
         raise DataError(f"Missing columns in Dataset: {missing}. Available: {names[:10]}")
 
+    edges = None
+    if max_distinct_x is not None:
+        sample = (
+            ds.select_columns([x])
+            .limit(prebucket_sample_rows)
+            .to_pandas()[x]
+            .dropna()
+            .to_numpy(dtype=float)
+        )
+        if exclude_values:
+            sample = sample[~np.isin(sample, list(exclude_values))]
+        if len(sample):
+            qs = np.linspace(0.0, 1.0, max_distinct_x + 1)[:-1]
+            edges = np.unique(np.quantile(sample, qs))
+
     partials = ds.select_columns([x, y]).map_batches(
-        make_partial_agg(x, y, exclude_values),
+        make_partial_agg(x, y, exclude_values, prebucket_edges=edges),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -50,8 +50,17 @@ def make_partial_agg(
     y: str,
     exclude_values: Optional[Iterable[float]] = None,
     validate: bool = True,
+    prebucket_edges: Optional[np.ndarray] = None,
 ) -> Callable[[pa.Table], pa.Table]:
-    """Build the per-batch partial-aggregation function for fit."""
+    """Build the per-batch partial-aggregation function for fit.
+
+    ``prebucket_edges``: sorted quantile edges for high-cardinality
+    continuous x — clean values are snapped DOWN to their bucket's left
+    edge before grouping, bounding the grouped table at len(edges) rows
+    regardless of distinct-x cardinality (documented deviation from the
+    reference's exact distinct-x semantics; off by default). Missing /
+    excluded handling still sees the ORIGINAL values.
+    """
     excl = np.array(sorted(set(float(v) for v in exclude_values)), dtype=float) if exclude_values else None
 
     def partial_agg(batch: pa.Table) -> pa.Table:
@@ -86,6 +95,13 @@ def make_partial_agg(
         # clean: group by distinct x over valid-y rows (vectorized)
         xc = xa[clean_mask]
         yc = ya[clean_mask]
+        if prebucket_edges is not None and len(xc):
+            idx = np.clip(
+                np.searchsorted(prebucket_edges, xc, side="right") - 1,
+                0,
+                len(prebucket_edges) - 1,
+            )
+            xc = prebucket_edges[idx]
         yv_mask = ~np.isnan(yc)
         xv, yv = xc[yv_mask], yc[yv_mask]
         if len(xv):
