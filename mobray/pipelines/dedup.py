@@ -259,6 +259,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6):
+    """Image near-dup candidate pairs by perceptual-hash Hamming distance.
+
+    Same 16-bit-chunk LSH as simhash_dedup but over a precomputed int64
+    phash column (no decode needed): two hashes within Hamming distance
+    <= 3 share an exact 16-bit chunk (pigeonhole); larger radii trade
+    recall. Returns (a, b, hamming) pairs. Shuffle ships only
+    (chunk_key, id, phash) rows."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ph = batch[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_pylist()
+        out_chunk, out_id, out_sig = [], [], []
+        u = ph.view(np.uint64)
+        for c in range(4):
+            chunk = ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_chunk.extend((c * 65536 + chunk).tolist())
+            out_id.extend(ids)
+            out_sig.extend(ph.tolist())
+        return pa.table(
+            {
+                "chunk_key": pa.array(out_chunk, pa.int64()),
+                "doc": out_id,
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        from mobray.functions.phash import hamming64
+
+        docs = g["doc"].to_numpy()
+        sigs = g["sig"].to_numpy()
+        pairs = []
+        for i in range(len(docs)):
+            d = hamming64(np.full(len(docs) - i - 1, sigs[i]), sigs[i + 1 :])
+            for off, dist in enumerate(d):
+                j = i + 1 + off
+                if docs[i] != docs[j] and dist <= hamming_radius:
+                    lo, hi = sorted((docs[i], docs[j]))
+                    pairs.append((lo, hi, int(dist)))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
+
+    out = (
+        ds.map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_neardup_pairs(
     ds,
     emb_col: str,

@@ -1,0 +1,55 @@
+"""Embedding-column aggregate operators.
+
+Vector columns (``list<float>``) aggregate with the same partial+final
+combiner pattern as scalars: per-batch sums of vectors per group (one
+partial row per group per batch, payload = dim floats), then a per-group
+final reduce. Shuffle volume is O(groups x batches x dim), never rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def group_centroids(ds, emb_col: str, group_col: str, normalize: bool = False):
+    """Mean embedding per group -> pandas DataFrame
+    (group, centroid:list<float>, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": groups})
+        out_g, out_sum, out_n = [], [], []
+        for gval, idx in df.groupby("g", sort=False).groups.items():
+            rows = emb[np.asarray(idx)]
+            out_g.append(gval)
+            out_sum.append(rows.sum(axis=0).tolist())
+            out_n.append(len(rows))
+        return pa.table(
+            {
+                "g": pa.array(out_g),
+                "vsum": pa.array(out_sum, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        vsum = np.array(g["vsum"].tolist(), dtype=np.float64).sum(axis=0)
+        n = int(g["n"].sum())
+        cent = vsum / n
+        if normalize:
+            cent = cent / max(np.linalg.norm(cent), 1e-12)
+        return pd.DataFrame(
+            {"group": [g["g"].iloc[0]], "centroid": [cent.tolist()], "n": [n]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("group")
+        .reset_index(drop=True)
+    )

@@ -289,6 +289,71 @@ def asof_join_broadcast(
     return left.map_batches(fn, batch_format="pandas")
 
 
+def hopping_window(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    window: str,
+    hop: str,
+):
+    """Hopping (sliding) window aggregate: fixed ``window`` length
+    advancing by ``hop`` (< window => overlapping windows; each event
+    lands in window/hop windows). Implemented as a vectorized per-batch
+    EXPANSION to (key, window_start) partial rows followed by the same
+    pre-aggregated groupby as tumbling_window — no per-row Python.
+    SQL-equivalent: join against generated window starts, or a RANGE
+    window frame."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    import pyarrow.compute as pc
+
+    window_us = int(pd.Timedelta(window).value // 1000)
+    hop_us = int(pd.Timedelta(hop).value // 1000)
+    if window_us % hop_us != 0:
+        raise ValueError("window must be a multiple of hop")
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        vals = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        # each event belongs to the k windows starting at
+        # floor(ts/hop)*hop - i*hop for i in 0..k-1 (those whose
+        # [start, start+window) contains ts)
+        base = (ts_us // hop_us) * hop_us
+        starts = base[None, :] - (np.arange(k)[:, None] * hop_us)
+        n = len(ts_us)
+        df = pd.DataFrame(
+            {
+                key: np.tile(keys, k),
+                "window_start": starts.ravel(),
+                "v": np.tile(vals, k),
+            }
+        )
+        g = df.groupby([key, "window_start"], sort=False)["v"]
+        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby([key, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="sum_value"),
+        Min("mn", alias_name="min_value"),
+        Max("mx", alias_name="max_value"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ws = batch["window_start"].to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pa.array(ws.astype("datetime64[us]"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def rolling_window(
     ds,
     key: str,
