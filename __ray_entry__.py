@@ -340,6 +340,43 @@ def q_distinct_users(sf_dir):
     )
 
 
+def q_group_centroids(sf_dir):
+    """Per-label embedding centroid (vector-sum partials); compared on
+    the first 4 components rounded to 3 decimals (float32 source)."""
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.embeddings import group_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = group_centroids(ds, "embedding", "label")
+    cents = np.array(out["centroid"].tolist(), dtype=float)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "label": out["group"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "c0": np.round(cents[:, 0], 3),
+            "c1": np.round(cents[:, 1], 3),
+            "c2": np.round(cents[:, 2], 3),
+            "c3": np.round(cents[:, 3], 3),
+        }
+    )
+
+
+def q_hopping_events(sf_dir):
+    import numpy as np
+
+    from mobray.pipelines.temporal import hopping_window
+
+    out = hopping_window(
+        _events(sf_dir), "user_id", "ts", "value", window="1h", hop="30min"
+    ).to_pandas()
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return out[["user_id", "window_start", "n_events", "sum_value"]]
+
+
 def q_dedup_exact_docs(sf_dir):
     import ray.data
 
@@ -503,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": q_topk_events,
         "session_stats_events": q_session_stats_events,
         "distinct_users": q_distinct_users,
+        "group_centroids": q_group_centroids,
+        "hopping_events": q_hopping_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_tokens_docs": q_text_tokens_docs,
         "filter_docs": q_filter_docs,
@@ -620,6 +659,24 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "group_centroids": """
+            SELECT label, count(*) AS n,
+                   round(avg(embedding[1]), 3) AS c0,
+                   round(avg(embedding[2]), 3) AS c1,
+                   round(avg(embedding[3]), 3) AS c2,
+                   round(avg(embedding[4]), 3) AS c3
+            FROM embeddings GROUP BY 1
+        """,
+        "hopping_events": """
+            WITH offsets AS (SELECT unnest([0, 1]) AS i)
+            SELECT user_id,
+                   time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE
+                     AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events, offsets
+            GROUP BY 1, 2
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

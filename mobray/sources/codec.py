@@ -147,6 +147,23 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     )
 
 
+def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average resize of an (H, W, C) uint8 image to (out_h, out_w, C)
+    — pure numpy (PIL unavailable), exact box-filter semantics via
+    reduceat on integer cell boundaries. Downscale-oriented; upscaling
+    repeats source pixels (nearest-cell)."""
+    h, w, c = pixels.shape
+    rb = (np.arange(out_h) * h) // out_h
+    cb = (np.arange(out_w) * w) // out_w
+    acc = pixels.astype(np.float64)
+    sums = np.add.reduceat(np.add.reduceat(acc, rb, axis=0), cb, axis=1)
+    rcounts = np.diff(np.append(rb, h)).astype(np.float64)
+    ccounts = np.diff(np.append(cb, w)).astype(np.float64)
+    area = np.outer(rcounts, ccounts)[:, :, None]
+    out = sums / area
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     if a.shape != b.shape:

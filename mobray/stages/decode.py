@@ -80,6 +80,95 @@ class DecodeVerifyStage:
         return batch
 
 
+class ImageResizeStage:
+    """Actor-pool resize: decode -> area-resize to (out_w, out_h) ->
+    re-encode. Output columns replace bytes/w/h; phash recomputed on the
+    resized pixels. Batch size must come from a byte budget
+    (``decode_batch_size_for``)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, out_fmt: str = "png"):
+        from mobray.sources.codec import resize_area
+
+        self.out_w = out_w
+        self.out_h = out_h
+        self.out_fmt = out_fmt
+        self._resize = resize_area
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from mobray.sources.codec import encode_image
+
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        out_blobs, out_ph = [], []
+        for i in range(len(blobs)):
+            px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+            rs = self._resize(px, self.out_w, self.out_h)
+            out_blobs.append(encode_image(rs, self.out_fmt))
+            out_ph.append(phash64(rs))
+        n = len(blobs)
+        batch = batch.drop_columns(["bytes", "w", "h", "fmt", "phash"])
+        batch = batch.append_column("bytes", pa.array(out_blobs, pa.binary()))
+        batch = batch.append_column("w", pa.array([self.out_w] * n, pa.int32()))
+        batch = batch.append_column("h", pa.array([self.out_h] * n, pa.int32()))
+        batch = batch.append_column("fmt", pa.array([self.out_fmt] * n, pa.string()))
+        batch = batch.append_column("phash", pa.array(out_ph, pa.int64()))
+        return batch
+
+
+class VideoFrameSampleStage:
+    """Actor-pool video frame sampling — STUB: no video codecs exist in
+    this sandbox, so ``__call__`` raises NotImplementedError at the codec
+    boundary. The Ray-side plumbing (actor signature, per-actor decoder
+    state slot, output schema: one row per sampled frame with
+    frame_index/frame_bytes columns) is real and unit-tested so a
+    pyav/ffmpeg decoder can drop in unchanged."""
+
+    OUTPUT_SCHEMA = pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_index", pa.int32()),
+            ("frame_bytes", pa.binary()),
+            ("frame_w", pa.int32()),
+            ("frame_h", pa.int32()),
+        ]
+    )
+
+    def __init__(self, every_n_frames: int = 30):
+        self.every_n_frames = every_n_frames
+        self._decoder = None  # real impl: open codec context once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decoding requires pyav/ffmpeg, unavailable in this sandbox; "
+            "plug a decoder into VideoFrameSampleStage._decoder"
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool audio feature extraction — STUB (no audio libs).
+    Output schema: (audio_id, duration_s, rms, n_samples)."""
+
+    OUTPUT_SCHEMA = pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("duration_s", pa.float64()),
+            ("rms", pa.float64()),
+            ("n_samples", pa.int64()),
+        ]
+    )
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa, unavailable in this "
+            "sandbox; plug a decoder into AudioFeatureStage"
+        )
+
+
 def image_feature_stage(batch: pa.Table) -> pa.Table:
     """Lightweight metadata-only feature projection (NO pixel decode, so
     the ``bytes`` column must already be pruned from the input). A plain
