@@ -340,6 +340,17 @@ def q_distinct_users(sf_dir):
     )
 
 
+def q_top_orders(sf_dir):
+    """Global sort + limit: top-10 orders by total price."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out
+
+
 def q_group_centroids(sf_dir):
     """Per-label embedding centroid (vector-sum partials); compared on
     the first 4 components rounded to 3 decimals (float32 source)."""
@@ -540,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": q_topk_events,
         "session_stats_events": q_session_stats_events,
         "distinct_users": q_distinct_users,
+        "top_orders": q_top_orders,
         "group_centroids": q_group_centroids,
         "hopping_events": q_hopping_events,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -659,6 +671,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "group_centroids": """
             SELECT label, count(*) AS n,
