@@ -523,6 +523,29 @@ def q_simhash_pairs_docs(sf_dir):
     return simhash_dedup(ds, "text", "doc_id", hamming_radius=3)
 
 
+def q_ngram_jaccard_docs(sf_dir):
+    """Exact word-3-gram Jaccard pairs within fingerprint buckets
+    (near-dup verification op; bucketing makes it non-SQL)."""
+    import ray.data
+
+    from mobray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.2)
+
+
+def q_embedding_neardup(sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    import ray.data
+
+    from mobray.pipelines.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(
+        ds, "embedding", "vec_id", threshold=0.5, n_planes=6
+    )
+
+
 def q_quality_docs(sf_dir):
     import ray.data
 
@@ -564,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "embedding_neardup": q_embedding_neardup,
         "quality_docs": q_quality_docs,
     }
 
