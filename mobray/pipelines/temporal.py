@@ -201,7 +201,11 @@ def asof_join(
         batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         for rc, oc in zip(rcols, out_rcols):
             batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
-        return batch
+        # bucket fused here: one operator instead of pad + with_buckets
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
 
     def pad_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -214,8 +218,12 @@ def asof_join(
             out = out.append_column(lc, pa.nulls(n, left_types[lc]))
         for rc, oc in zip(rcols, out_rcols):
             out = out.append_column(oc, batch[rc])
+        kv = out[key].to_numpy(zero_copy_only=False)
+        out = out.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
         # match left's column order
-        order = left_names + ["__side"] + out_rcols
+        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
         return out.select(order)
 
     lpad = left.map_batches(pad_left, batch_format="pyarrow")
