@@ -406,7 +406,9 @@ def q_text_tokens_docs(sf_dir):
     from mobray.stages.text import TextAnalysisStage
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TextAnalysisStage, batch_format="pyarrow", concurrency=2)
+    # instance (stateless tasks) rather than an actor pool: never reserves
+    # CPUs away from the read stage regardless of the driver's session size
+    out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_ws_tokens"]), batch_format="pyarrow"
     )
@@ -552,7 +554,7 @@ def q_quality_docs(sf_dir):
     from mobray.stages.text import TextAnalysisStage
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TextAnalysisStage, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.select(["doc_id", "quality_score", "lang_pred", "fingerprint"]),
         batch_format="pyarrow",
