@@ -295,3 +295,77 @@ class TestTumblingWindow:
         np.testing.assert_allclose(
             out["mean_value"].to_numpy(), oracle["mean_value"].to_numpy(), rtol=1e-9
         )
+
+
+class TestAsofVariants:
+    def _data(self):
+        left = pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "ts": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-20"]),
+                "row": [1, 2, 3],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "ts": pd.to_datetime(["2024-01-04", "2024-01-12", "2024-01-30"]),
+                "attr": [1.0, 2.0, 3.0],
+            }
+        )
+        return left, right
+
+    def _run(self, direction=None, tolerance=None, allow_exact=True):
+        import ray.data
+
+        left, right = self._data()
+        kwargs = {}
+        if direction:
+            kwargs["direction"] = direction
+        out = asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            key="k",
+            ts="ts",
+            right_cols=["attr"],
+            num_buckets=2,
+            tolerance=tolerance,
+            allow_exact_matches=allow_exact,
+            **kwargs,
+        ).to_pandas().sort_values("row")
+        return list(out["attr"])
+
+    def test_forward(self, ray_session):
+        # next right row at ts >= left ts
+        assert self._run(direction="forward") == [2.0, 2.0, 3.0]
+
+    def test_nearest(self, ray_session):
+        assert self._run(direction="nearest") == [1.0, 2.0, 2.0]
+
+    def test_tolerance(self, ray_session):
+        # backward within 2 days only: row1 matches 01-04 (1d); row2's
+        # latest earlier row is 01-04 (6d, out of tolerance); row3's is
+        # 01-12 (8d, out)
+        out = self._run(tolerance="2D")
+        assert out[0] == 1.0
+        assert np.isnan(out[1]) and np.isnan(out[2])
+
+    def test_exact_match_excluded(self, ray_session):
+        import ray.data
+
+        left, right = self._data()
+        left.loc[0, "ts"] = right.loc[0, "ts"]  # exact tie at 2024-01-04
+        out = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                key="k",
+                ts="ts",
+                right_cols=["attr"],
+                num_buckets=2,
+                allow_exact_matches=False,
+            )
+            .to_pandas()
+            .sort_values("row")
+        )
+        assert np.isnan(out["attr"].iloc[0])  # same-instant row must not match
