@@ -73,7 +73,19 @@ def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
                  "content_hash": pd.Series(dtype="object")}
             )
         pid = int(_hash_bucket(np.array([g[key].iloc[0]], dtype=object), num_buckets)[0])
-        return pd.DataFrame([write_partition(g, out_dir, pid)])
+        rec = write_partition(g, out_dir, pid)
+        # per-partition verification gates into the lineage record
+        for col, name in (
+            ("decode_ok", "n_decode_ok"),
+            ("phash_match", "n_phash_match"),
+            ("psnr_db", "n_psnr_ge_40"),
+        ):
+            if col in g.columns:
+                if col == "psnr_db":
+                    rec[name] = int((g[col] >= 40.0).sum())
+                else:
+                    rec[name] = int(g[col].sum())
+        return pd.DataFrame([rec])
 
     return _windows_and_write
 
@@ -85,22 +97,47 @@ def image_feature_pipeline(
     num_buckets: int = 32,
     out_dir: Optional[str] = None,
     session_gap: str = "30min",
+    verify_decode: bool = False,
+    decode_concurrency: int = 4,
 ):
     """Run the full feature job over a generated image table directory.
 
     Returns (features, model): ``features`` is the lazy Dataset of
     entity x timestamp feature rows unless ``out_dir`` is given, in which
     case it is the metrics DataFrame of the resumable write.
+
+    ``verify_decode=True`` fuses the decode/verify actor pool INTO the
+    feature pipeline: the bytes column is read once, every image is
+    decoded and gated (PSNR/phash) on the pool, bytes are dropped before
+    any exchange, and the per-partition manifests carry the gate counts.
+    One execution, one read of the payload, zero bytes in the shuffle.
     """
     meta = read_image_table(data_dir, columns=META_COLS)
-    feats = meta.map_batches(image_feature_stage, batch_format="pyarrow")
+    feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
 
     model = fit_dataset(
-        feats,
+        feats_meta,
         "pop",
         "label",
         constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
     )
+
+    if verify_decode:
+        src_ds = read_image_table(data_dir)  # includes bytes
+        verified = src_ds.map_batches(
+            DecodeVerifyStage,
+            fn_constructor_kwargs={"extract_thumb": True},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=decode_concurrency,
+            num_cpus=1,
+        )
+        no_bytes = verified.map_batches(
+            lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow"
+        )
+        feats = no_bytes.map_batches(image_feature_stage, batch_format="pyarrow")
+    else:
+        feats = feats_meta
 
     scored = multi_transform_dataset(
         feats, model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
@@ -140,14 +177,29 @@ def full_job(
     pool (PSNR/phash gates) AND produce the binned + as-of-joined +
     windowed feature rows with a checkpointed write.
 
+    Decode/verify is FUSED into the feature pipeline (verify_decode=True)
+    so the whole job is two Ray executions total: the metadata-only fit
+    pass and the payload pass (decode -> drop bytes -> transform -> one
+    as-of shuffle with fused windows + checkpointed write). Gate counts
+    come back on the per-partition lineage records.
+
     Returns (metrics_df, model, decode_report)."""
-    report = decode_verification_report(data_dir, concurrency=decode_concurrency)
     metrics, model = image_feature_pipeline(
         data_dir,
         constraints=constraints,
         num_buckets=num_buckets,
         out_dir=out_dir,
+        verify_decode=True,
+        decode_concurrency=decode_concurrency,
     )
+    fresh = metrics[~metrics["skipped"]]
+    report = {
+        "n": int(metrics["rows"].sum()),
+        "n_ok": int(fresh.get("n_decode_ok", pd.Series(dtype=float)).sum()),
+        "n_phash_match": int(fresh.get("n_phash_match", pd.Series(dtype=float)).sum()),
+        "n_psnr_ge_40": int(fresh.get("n_psnr_ge_40", pd.Series(dtype=float)).sum()),
+        "n_skipped_rows": int(metrics.loc[metrics["skipped"], "rows"].sum()),
+    }
     return metrics, model, report
 
 

@@ -46,10 +46,19 @@ class DecodeVerifyStage:
     identically.
     """
 
-    def __init__(self, check_phash: bool = True):
+    def __init__(
+        self,
+        check_phash: bool = True,
+        extract_thumb: bool = False,
+        thumb_size: int = 32,
+    ):
         self.check_phash = check_phash
+        self.extract_thumb = extract_thumb
+        self.thumb_size = thumb_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from mobray.sources.codec import resize_area
+
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
@@ -61,6 +70,7 @@ class DecodeVerifyStage:
         ph_match = np.zeros(n, dtype=bool)
         psnrs = np.full(n, np.nan)
         bright = np.full(n, np.nan)
+        thumb_ph = np.zeros(n, dtype=np.int64)
 
         for i in range(n):
             try:
@@ -72,11 +82,16 @@ class DecodeVerifyStage:
             psnrs[i] = psnr(px, px)  # lossless reference: inf
             if self.check_phash:
                 ph_match[i] = phash64(px) == int(stored_ph[i])
+            if self.extract_thumb:
+                thumb = resize_area(px, self.thumb_size, self.thumb_size)
+                thumb_ph[i] = phash64(thumb)
 
         batch = batch.append_column("decode_ok", pa.array(ok))
         batch = batch.append_column("phash_match", pa.array(ph_match))
         batch = batch.append_column("psnr_db", pa.array(psnrs, pa.float64()))
         batch = batch.append_column("brightness", pa.array(bright, pa.float64()))
+        if self.extract_thumb:
+            batch = batch.append_column("thumb_phash", pa.array(thumb_ph, pa.int64()))
         return batch
 
 
