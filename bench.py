@@ -198,8 +198,17 @@ def bench_knn() -> float:
 
 
 def warm_cache():
-    for name in ("lineitem", "events", "documents", "embeddings"):
-        p = f"{SF_DIR}/{name}.parquet"
+    """Pull all bench inputs into the OS page cache so both scaling levels
+    measure compute + exchange, not whichever run pays the cold disk read
+    (the image table is ~4.5 GB — a cold read is a parallelism-flat cost
+    that poisons the efficiency ratio)."""
+    paths = [f"{SF_DIR}/{n}.parquet" for n in ("lineitem", "events", "documents", "embeddings")]
+    img_dir = os.path.join(image_table_dir(), "images")
+    attr_dir = os.path.join(image_table_dir(), "attrs")
+    for d in (img_dir, attr_dir):
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in os.listdir(d))
+    for p in paths:
         if os.path.exists(p):
             with open(p, "rb") as f:
                 while f.read(1 << 24):
@@ -237,8 +246,8 @@ def main() -> None:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    warm_cache()
     img_dir = ensure_image_table()
+    warm_cache()
     warm_workers()
 
     queries = {}

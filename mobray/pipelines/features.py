@@ -3,19 +3,23 @@ windowed feature job over the image+caption table (the north star).
 
 Stages and their exchanges:
 
-  read images (COLUMN-PRUNED: bytes never read on the fit/feature path)
-    -> ImageFeatureStage               map_batches, stateless, no shuffle
-    -> fit_dataset(pop, label)         1 tiny shuffle (partial-agg'd)
-    -> transform (woe + interval)      map_batches, broadcast model
-    -> as-of join attrs + FUSED        1 shuffle (hash by image_id); the
-       lag/lead/backfill/sessionize       windows run inside the same
-                                          per-bucket pass (post_fn)
-    -> resumable partitioned write     reuses the same hash buckets
+  pass 1 (metadata only, bytes column never read):
+    read -> image_feature_stage -> fit_dataset(pop, label)   tiny shuffle
+  pass 2 (the payload pass — ONE execution, ONE read of bytes):
+    read all columns
+      -> DecodeVerifyStage actor pool    decode, PSNR/phash gates,
+                                         thumbnail phash extraction
+      -> drop bytes                      payloads never enter a shuffle
+      -> feature + transform stages      broadcast model, vectorized
+      -> as-of join attrs + FUSED        the single all-to-all exchange;
+         lag/lead/backfill/sessionize    windows + the checkpointed
+         + partition write (post_fn)     write run inside the same
+                                         per-bucket pass
+  per-partition manifests carry rows/bytes/hash AND the decode gate
+  counts (lineage doubles as the verification record).
 
-Optionally (``decode=True``) a separate decode/verify pass over the
-bytes column runs on an actor pool and reports the PSNR / phash / caption
-verification aggregate — kept off the feature path so image payloads
-never enter a shuffle.
+``decode_verification_report`` remains available as a standalone
+verification-only pass (used by tests and ad-hoc audits).
 """
 
 from __future__ import annotations
@@ -24,13 +28,62 @@ from typing import Optional
 
 import pandas as pd
 
+import pyarrow as pa
+
 from mobray.core.constraints import BinningConstraints
 from mobray.pipelines.fit import fit_dataset, multi_transform_dataset
-from mobray.pipelines.temporal import asof_join
+from mobray.pipelines.temporal import asof_join, asof_join_prepadded, make_pad_left_fn
 from mobray.sources.imagegen import read_attrs_table, read_image_table
+from mobray.stages.binning import make_multi_transform_stage
 from mobray.stages.decode import DecodeVerifyStage, image_feature_stage
 
 META_COLS = ["image_id", "w", "h", "fmt", "phash", "event_ts", "label"]
+
+# column layout of the fused payload stage's output (pre-padding), in
+# append order: source (minus bytes) + verify + features + scores
+PAYLOAD_LEFT_NAMES = [
+    "image_id", "w", "h", "fmt", "caption", "phash", "event_ts", "label",
+    "decode_ok", "phash_match", "psnr_db", "brightness", "thumb_phash",
+    "pop", "aspect", "pixels", "phash_lo", "pop_woe", "pop_bin",
+]
+PAYLOAD_LEFT_TYPES = {
+    "image_id": pa.string(), "w": pa.int32(), "h": pa.int32(),
+    "fmt": pa.string(), "caption": pa.string(), "phash": pa.int64(),
+    "event_ts": pa.timestamp("us"), "label": pa.float64(),
+    "decode_ok": pa.bool_(), "phash_match": pa.bool_(),
+    "psnr_db": pa.float64(), "brightness": pa.float64(),
+    "thumb_phash": pa.int64(), "pop": pa.int32(), "aspect": pa.float64(),
+    "pixels": pa.int64(), "phash_lo": pa.int32(),
+    "pop_woe": pa.float64(), "pop_bin": pa.string(),
+}
+
+
+class PayloadStage:
+    """THE per-row actor stage of the payload pass: decode/verify +
+    thumbnail extraction + metadata features + model scoring + as-of
+    left-side padding, all inside one actor ``__call__``. Fusing the
+    whole per-row chain into the pool keeps parallelism at the actor
+    count (Ray otherwise re-bundles the small decoded blocks into a
+    handful of downstream tasks, capping the cluster at ~a dozen
+    workers) and ships exactly one output block per input block
+    straight into the exchange."""
+
+    def __init__(self, model, num_buckets: int):
+        self.decode = DecodeVerifyStage(extract_thumb=True)
+        self.score = make_multi_transform_stage(
+            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+        )
+        self.pad = make_pad_left_fn(
+            PAYLOAD_LEFT_NAMES, "image_id", {"attr": pa.float64()},
+            ["attr"], ["attr"], num_buckets,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.decode(batch)
+        batch = batch.drop_columns(["bytes"])
+        batch = image_feature_stage(batch)
+        batch = self.score(batch)
+        return self.pad(batch)
 
 
 def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
@@ -122,40 +175,46 @@ def image_feature_pipeline(
         constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
     )
 
+    attrs = read_attrs_table(data_dir)
+    post = make_window_post_fn(
+        session_gap=session_gap, out_dir=out_dir, num_buckets=num_buckets
+    )
+
     if verify_decode:
         src_ds = read_image_table(data_dir)  # includes bytes
-        verified = src_ds.map_batches(
-            DecodeVerifyStage,
-            fn_constructor_kwargs={"extract_thumb": True},
+        left_padded = src_ds.map_batches(
+            PayloadStage,
+            fn_constructor_kwargs={"model": model, "num_buckets": num_buckets},
             batch_format="pyarrow",
             batch_size=256,
             concurrency=decode_concurrency,
             num_cpus=1,
         )
-        no_bytes = verified.map_batches(
-            lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow"
+        features = asof_join_prepadded(
+            left_padded,
+            attrs,
+            key="image_id",
+            ts="event_ts",
+            left_names=PAYLOAD_LEFT_NAMES,
+            rcols=["attr"],
+            out_rcols=["attr"],
+            left_types=PAYLOAD_LEFT_TYPES,
+            num_buckets=num_buckets,
+            post_fn=post,
         )
-        feats = no_bytes.map_batches(image_feature_stage, batch_format="pyarrow")
     else:
-        feats = feats_meta
-
-    scored = multi_transform_dataset(
-        feats, model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
-    )
-
-    attrs = read_attrs_table(data_dir)
-    post = make_window_post_fn(
-        session_gap=session_gap, out_dir=out_dir, num_buckets=num_buckets
-    )
-    features = asof_join(
-        scored,
-        attrs,
-        key="image_id",
-        ts="event_ts",
-        right_cols=["attr"],
-        num_buckets=num_buckets,
-        post_fn=post,
-    )
+        scored = multi_transform_dataset(
+            feats_meta, model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+        )
+        features = asof_join(
+            scored,
+            attrs,
+            key="image_id",
+            ts="event_ts",
+            right_cols=["attr"],
+            num_buckets=num_buckets,
+            post_fn=post,
+        )
 
     if out_dir is not None:
         metrics = (

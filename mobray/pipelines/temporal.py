@@ -154,6 +154,99 @@ def sessionize(
     return _per_bucket(ds, key, num_buckets, fn)
 
 
+def make_pad_left_fn(
+    left_names: List[str],
+    key: str,
+    right_types: dict,
+    rcols: List[str],
+    out_rcols: List[str],
+    num_buckets: int,
+):
+    """Arrow-batch function that tags/pads/buckets the LEFT side for the
+    as-of exchange. Exposed so callers can fuse it into an upstream
+    stage (e.g. inside a decode actor pool) instead of paying a separate
+    map operator."""
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        for rc, oc in zip(rcols, out_rcols):
+            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+
+    return pad_left
+
+
+def asof_join_prepadded(
+    left_padded,
+    right,
+    *,
+    key: str,
+    ts: str,
+    left_names: List[str],
+    rcols: List[str],
+    out_rcols: List[str],
+    left_types: dict,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    num_buckets: int = 64,
+    post_fn=None,
+):
+    """As-of join where the left side is ALREADY tagged/padded/bucketed
+    (via make_pad_left_fn, possibly fused into an upstream actor stage).
+    See asof_join for semantics."""
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {key: batch[key], ts: batch[ts]}
+        out = pa.table(cols)
+        out = out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        for lc in left_names:
+            if lc in (key, ts):
+                continue
+            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+        for rc, oc in zip(rcols, out_rcols):
+            out = out.append_column(oc, batch[rc])
+        kv = out[key].to_numpy(zero_copy_only=False)
+        out = out.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+        # match left's column order
+        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
+        return out.select(order)
+
+    rpad = right.map_batches(pad_right, batch_format="pyarrow")
+    both = left_padded.union(rpad)
+
+    tol = pd.Timedelta(tolerance) if tolerance is not None and not isinstance(tolerance, pd.Timedelta) else tolerance
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
+        rdf = g[g["__side"] == 1][[key, ts] + out_rcols]
+        if len(ldf) == 0:
+            return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
+        ldf = ldf.sort_values(ts, kind="stable")
+        rdf = rdf.sort_values(ts, kind="stable")
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            on=ts,
+            by=key,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        if post_fn is not None:
+            merged = post_fn(merged)
+        return merged
+
+    return _per_bucket(both, key, num_buckets, fn)
+
+
 def asof_join(
     left,
     right,
@@ -196,63 +289,26 @@ def asof_join(
     right_types = _arrow_types(right.schema())
     left_types = _arrow_types(left.schema())
 
-    def pad_left(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
-        for rc, oc in zip(rcols, out_rcols):
-            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
-        # bucket fused here: one operator instead of pad + with_buckets
-        kv = batch[key].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
-        )
-
-    def pad_right(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cols = {key: batch[key], ts: batch[ts]}
-        out = pa.table(cols)
-        out = out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
-        for lc in left_names:
-            if lc in (key, ts):
-                continue
-            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
-        for rc, oc in zip(rcols, out_rcols):
-            out = out.append_column(oc, batch[rc])
-        kv = out[key].to_numpy(zero_copy_only=False)
-        out = out.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
-        )
-        # match left's column order
-        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
-        return out.select(order)
-
+    pad_left = make_pad_left_fn(
+        left_names, key, right_types, rcols, out_rcols, num_buckets
+    )
     lpad = left.map_batches(pad_left, batch_format="pyarrow")
-    rpad = right.map_batches(pad_right, batch_format="pyarrow")
-    both = lpad.union(rpad)
 
-    tol = pd.Timedelta(tolerance) if tolerance is not None and not isinstance(tolerance, pd.Timedelta) else tolerance
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
-        rdf = g[g["__side"] == 1][[key, ts] + out_rcols]
-        if len(ldf) == 0:
-            return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
-        ldf = ldf.sort_values(ts, kind="stable")
-        rdf = rdf.sort_values(ts, kind="stable")
-        merged = pd.merge_asof(
-            ldf,
-            rdf,
-            on=ts,
-            by=key,
-            direction=direction,
-            tolerance=tol,
-            allow_exact_matches=allow_exact_matches,
-        )
-        if post_fn is not None:
-            merged = post_fn(merged)
-        return merged
-
-    return _per_bucket(both, key, num_buckets, fn)
+    return asof_join_prepadded(
+        lpad,
+        right,
+        key=key,
+        ts=ts,
+        left_names=left_names,
+        rcols=rcols,
+        out_rcols=out_rcols,
+        left_types=left_types,
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+        num_buckets=num_buckets,
+        post_fn=post_fn,
+    )
 
 
 def asof_join_broadcast(

@@ -148,3 +148,36 @@ class TestResumableWrite:
 
         written = pq.read_table(out_dir).to_pandas()
         assert len(written) == 300
+
+
+class TestFullJob:
+    def test_single_pass_gates_and_features(self, ray_session, image_dir, tmp_path):
+        from mobray.pipelines.features import full_job
+
+        out_dir = str(tmp_path / "fj")
+        metrics, model, report = full_job(
+            image_dir, out_dir, num_buckets=4, decode_concurrency=2
+        )
+        assert report["n"] == 300
+        assert report["n_ok"] == 300
+        assert report["n_phash_match"] == 300
+        assert report["n_psnr_ge_40"] == 300
+        # gate counts live on the lineage records
+        assert "n_decode_ok" in metrics.columns
+        import pyarrow.parquet as pq
+
+        written = pq.read_table(out_dir).to_pandas()
+        assert "thumb_phash" in written.columns
+        assert "pop_woe" in written.columns
+        assert (written["decode_ok"]).all()
+
+    def test_resume_reports_skipped(self, ray_session, image_dir, tmp_path):
+        from mobray.pipelines.features import full_job
+
+        out_dir = str(tmp_path / "fj2")
+        full_job(image_dir, out_dir, num_buckets=4, decode_concurrency=2)
+        metrics, _, report = full_job(
+            image_dir, out_dir, num_buckets=4, decode_concurrency=2
+        )
+        assert metrics["skipped"].all()
+        assert report["n_skipped_rows"] == 300
