@@ -44,7 +44,8 @@ META_COLS = ["image_id", "w", "h", "fmt", "phash", "event_ts", "label"]
 PAYLOAD_LEFT_NAMES = [
     "image_id", "w", "h", "fmt", "caption", "phash", "event_ts", "label",
     "decode_ok", "phash_match", "psnr_db", "brightness", "thumb_phash",
-    "pop", "aspect", "pixels", "phash_lo", "pop_woe", "pop_bin",
+    "pop", "aspect", "pixels", "phash_lo", "caption_tokens",
+    "pop_woe", "pop_bin",
 ]
 PAYLOAD_LEFT_TYPES = {
     "image_id": pa.string(), "w": pa.int32(), "h": pa.int32(),
@@ -54,6 +55,7 @@ PAYLOAD_LEFT_TYPES = {
     "psnr_db": pa.float64(), "brightness": pa.float64(),
     "thumb_phash": pa.int64(), "pop": pa.int32(), "aspect": pa.float64(),
     "pixels": pa.int64(), "phash_lo": pa.int32(),
+    "caption_tokens": pa.int32(),
     "pop_woe": pa.float64(), "pop_bin": pa.string(),
 }
 

@@ -206,4 +206,11 @@ def image_feature_stage(batch: pa.Table) -> pa.Table:
         "phash_lo",
         pa.array((ph.astype(np.int64) & 0xFF).astype(np.int32), pa.int32()),
     )
+    if "caption" in batch.schema.names:
+        import pyarrow.compute as pc
+
+        n_space = pc.count_substring(batch["caption"], " ")
+        batch = batch.append_column(
+            "caption_tokens", pc.cast(pc.add(n_space, 1), pa.int32())
+        )
     return batch
