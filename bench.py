@@ -255,7 +255,10 @@ def main() -> None:
     # single run can catch a throttled window; min of N is the standard
     # noise-damping choice and still measures the same full job
     repeats = int(os.environ.get("BENCH_REPEAT", "2"))
-    runs = [bench_image_features(img_dir) for _ in range(max(1, repeats))]
+    runs = [bench_image_features(img_dir)]
+    # additional noise-damping repeats only while cheap
+    while len(runs) < max(1, repeats) and runs[-1][0] < 150:
+        runs.append(bench_image_features(img_dir))
     headline_sec, feature_rows = min(runs, key=lambda r: r[0])
     queries["image_features"] = round(headline_sec, 3)
     if os.environ.get("BENCH_HEADLINE_ONLY") != "1":

@@ -203,9 +203,12 @@ def generate_image_table(
     ]
 
     def _write_shard(shard_id: int, entities: List[int]) -> None:
+        # bytes are already-compressed PNG / incompressible raw pixels:
+        # parquet page compression would only burn CPU on both ends
         pq.write_table(
             gen_entities_table(seed, entities, snapshots),
             os.path.join(img_dir, f"shard-{shard_id:05d}.parquet"),
+            compression="NONE",
         )
         pq.write_table(
             gen_attrs_table(seed, entities, snapshots),
