@@ -23,10 +23,23 @@ Layers
 - ``mobray.state``     BinningModel artifact, checkpoint manifests, metrics.
 """
 
+from mobray.binner import MonotonicBinner
 from mobray.core.constraints import BinningConstraints
 from mobray.core.merge import MergeStrategy
 from mobray.core.model import BinningModel
 
 __version__ = "0.1.0"
 
-__all__ = ["BinningConstraints", "MergeStrategy", "BinningModel", "__version__"]
+__all__ = [
+    "MonotonicBinner",
+    "BinningConstraints",
+    "MergeStrategy",
+    "BinningModel",
+    "__version__",
+]
+
+
+def get_version() -> str:
+    """Current engine version (mirrors the reference's helper,
+    MOBPY/__init__.py:33-39)."""
+    return __version__
