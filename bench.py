@@ -343,13 +343,17 @@ def _record_baseline(result: dict) -> None:
         f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
         f"| {result['scaling_efficiency']} |\n"
     )
+    end_marker = "## Scaling methodology"
     try:
         with open(path) as f:
             content = f.read()
+        tail = ""
+        if end_marker in content:
+            tail = "\n" + content[content.index(end_marker):]
         if marker in content:
-            content = content[: content.index(marker)].rstrip() + "\n" + entry
+            content = content[: content.index(marker)].rstrip() + "\n" + entry + tail
         else:
-            content = content.rstrip() + "\n" + entry
+            content = content.rstrip() + "\n" + entry + tail
         with open(path, "w") as f:
             f.write(content)
     except OSError:
