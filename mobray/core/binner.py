@@ -186,6 +186,129 @@ def aggregates_from_arrays(
     )
 
 
+def _num_to_json(v: float):
+    if isinstance(v, float) and math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    return v
+
+
+def _num_from_json(v):
+    if v == "inf":
+        return math.inf
+    if v == "-inf":
+        return -math.inf
+    return float(v)
+
+
+def aggregates_to_json(agg: FitAggregates) -> str:
+    """Serialize the mergeable fit sketch — the checkpointable state of
+    an incremental fit."""
+    import json
+
+    def ss(s: SpecialStats):
+        return {
+            "n_rows": s.n_rows, "n_valid": s.n_valid, "sum": s.sum,
+            "sum2": s.sum2, "ymin": _num_to_json(s.ymin), "ymax": _num_to_json(s.ymax),
+        }
+
+    return json.dumps(
+        {
+            "groups": {
+                "x": agg.groups.x.tolist(),
+                "count": agg.groups.count.tolist(),
+                "sum": agg.groups.sum.tolist(),
+                "sum2": agg.groups.sum2.tolist(),
+                "ymin": agg.groups.ymin.tolist(),
+                "ymax": agg.groups.ymax.tolist(),
+            },
+            "clean_n_rows": agg.clean_n_rows,
+            "y_distinct": agg.y_distinct,
+            "missing": ss(agg.missing),
+            "excluded": {str(k): ss(v) for k, v in agg.excluded.items()},
+        }
+    )
+
+
+def aggregates_from_json(s: str) -> FitAggregates:
+    import json
+
+    d = json.loads(s)
+
+    def ss(x) -> SpecialStats:
+        return SpecialStats(
+            n_rows=int(x["n_rows"]), n_valid=int(x["n_valid"]),
+            sum=float(x["sum"]), sum2=float(x["sum2"]),
+            ymin=_num_from_json(x["ymin"]), ymax=_num_from_json(x["ymax"]),
+        )
+
+    g = d["groups"]
+    return FitAggregates(
+        groups=GroupsTable(
+            x=np.array(g["x"], dtype=float),
+            count=np.array(g["count"], dtype=np.int64),
+            sum=np.array(g["sum"], dtype=float),
+            sum2=np.array(g["sum2"], dtype=float),
+            ymin=np.array(g["ymin"], dtype=float),
+            ymax=np.array(g["ymax"], dtype=float),
+        ),
+        clean_n_rows=int(d["clean_n_rows"]),
+        y_distinct=[float(v) for v in d["y_distinct"]],
+        missing=ss(d["missing"]),
+        excluded={float(k): ss(v) for k, v in d["excluded"].items()},
+    )
+
+
+def merge_fit_aggregates(a: FitAggregates, b: FitAggregates) -> FitAggregates:
+    """Pool two FitAggregates — every component is a mergeable sketch
+    (counts/sums pool; grouped tables merge-by-key; capped distinct sets
+    union), so a fit can be updated INCREMENTALLY: aggregate only the new
+    data and merge with the saved aggregates, then re-run the cheap
+    driver-side reduce. fit(merge(agg(A), agg(B))) == fit(A ∪ B) exactly.
+    """
+    # merge grouped tables by x key
+    ga, gb = a.groups, b.groups
+    xs = np.union1d(ga.x, gb.x)
+    ia = np.searchsorted(ga.x, xs)
+    ib = np.searchsorted(gb.x, xs)
+    in_a = (ia < len(ga.x)) & (ga.x[np.clip(ia, 0, max(0, len(ga.x) - 1))] == xs)
+    in_b = (ib < len(gb.x)) & (gb.x[np.clip(ib, 0, max(0, len(gb.x) - 1))] == xs)
+
+    def pick(arr_a, arr_b, fill):
+        out_a = np.full(len(xs), fill, dtype=float)
+        out_b = np.full(len(xs), fill, dtype=float)
+        out_a[in_a] = arr_a[ia[in_a]]
+        out_b[in_b] = arr_b[ib[in_b]]
+        return out_a, out_b
+
+    ca, cb = pick(ga.count.astype(float), gb.count.astype(float), 0.0)
+    sa, sb = pick(ga.sum, gb.sum, 0.0)
+    s2a, s2b = pick(ga.sum2, gb.sum2, 0.0)
+    mna, mnb = pick(ga.ymin, gb.ymin, math.inf)
+    mxa, mxb = pick(ga.ymax, gb.ymax, -math.inf)
+
+    groups = GroupsTable(
+        x=xs,
+        count=(ca + cb).astype(np.int64),
+        sum=sa + sb,
+        sum2=s2a + s2b,
+        ymin=np.minimum(mna, mnb),
+        ymax=np.maximum(mxa, mxb),
+    )
+
+    excluded: Dict[float, SpecialStats] = {}
+    for src in (a.excluded, b.excluded):
+        for k, v in src.items():
+            excluded[k] = excluded[k].merge(v) if k in excluded else v
+
+    return FitAggregates(
+        groups=groups,
+        clean_n_rows=a.clean_n_rows + b.clean_n_rows,
+        y_distinct=sorted(set(a.y_distinct) | set(b.y_distinct))[:3],
+        missing=a.missing.merge(b.missing),
+        excluded=excluded,
+    )
+
+
 def fit_from_aggregates(
     agg: FitAggregates,
     *,

@@ -35,34 +35,21 @@ from mobray.exceptions import DataError
 from mobray.stages.binning import make_partial_agg
 
 
-def fit_dataset(
+def collect_aggregates(
     ds,
     x: str,
     y: str,
     *,
-    sign: str = "auto",
-    strict: bool = True,
-    constraints: Optional[BinningConstraints] = None,
     exclude_values: Optional[Iterable[float]] = None,
-    merge_strategy: MergeStrategy | str = MergeStrategy.HIGHEST_PVALUE,
     batch_size: int = 65536,
     max_distinct_x: Optional[int] = None,
     prebucket_sample_rows: int = 100_000,
-) -> BinningModel:
-    """Fit a BinningModel on columns (x, y) of a Ray Dataset.
-
-    Matches ``MonotonicBinner(df, x, y, ...).fit()`` semantics
-    (MOBPY/binning/mob.py:173-305) with allclose numerics.
-
-    ``max_distinct_x``: the scale valve for high-cardinality continuous
-    features. The grouped table the driver reduces has one row per
-    distinct x — unbounded for continuous x at petabyte scale. When set,
-    a driver-side sample derives ``max_distinct_x`` quantile edges and
-    clean x values are snapped to their bucket's left edge inside the
-    partial pass, bounding shuffle volume and driver memory at
-    O(max_distinct_x). Off by default so conformance tests see the
-    reference's exact distinct-x semantics.
-    """
+) -> FitAggregates:
+    """Run ONLY the distributed aggregation pass and return the mergeable
+    FitAggregates sketch. Save it (``aggregates_to_json``) and later pool
+    it with aggregates of NEW data via
+    ``mobray.core.binner.merge_fit_aggregates`` — an incremental fit that
+    never re-scans old data. ``fit_dataset`` = collect + reduce."""
     from ray.data.aggregate import Max, Min, Sum
 
     names = ds.schema().names
@@ -99,10 +86,42 @@ def fit_dataset(
         Max("mx", alias_name="mx"),
     )
     small = agg.to_pandas()  # rows = distinct x (+ a few specials): small
+    return _rows_to_aggregates(small)
 
-    return _reduce_to_model(
-        small,
+
+def fit_dataset(
+    ds,
+    x: str,
+    y: str,
+    *,
+    sign: str = "auto",
+    strict: bool = True,
+    constraints: Optional[BinningConstraints] = None,
+    exclude_values: Optional[Iterable[float]] = None,
+    merge_strategy: MergeStrategy | str = MergeStrategy.HIGHEST_PVALUE,
+    batch_size: int = 65536,
+    max_distinct_x: Optional[int] = None,
+    prebucket_sample_rows: int = 100_000,
+) -> BinningModel:
+    """Fit a BinningModel on columns (x, y) of a Ray Dataset.
+
+    Matches ``MonotonicBinner(df, x, y, ...).fit()`` semantics
+    (MOBPY/binning/mob.py:173-305) with allclose numerics.
+
+    ``max_distinct_x``: the scale valve for high-cardinality continuous
+    features — see collect_aggregates.
+    """
+    agg = collect_aggregates(
+        ds,
+        x,
+        y,
         exclude_values=exclude_values,
+        batch_size=batch_size,
+        max_distinct_x=max_distinct_x,
+        prebucket_sample_rows=prebucket_sample_rows,
+    )
+    return fit_from_aggregates(
+        agg,
         sign=sign,
         strict=strict,
         constraints=constraints,
@@ -110,16 +129,8 @@ def fit_dataset(
     )
 
 
-def _reduce_to_model(
-    small,
-    *,
-    exclude_values,
-    sign,
-    strict,
-    constraints,
-    merge_strategy,
-) -> BinningModel:
-    """Driver-side: aggregated (tag, xk) rows -> FitAggregates -> model."""
+def _rows_to_aggregates(small) -> FitAggregates:
+    """Driver-side: aggregated (tag, xk) rows -> FitAggregates."""
     c = small[small["tag"] == "c"].sort_values("xk")
     if len(c) == 0:
         raise DataError("No clean rows after removing missing/excluded values")
@@ -155,19 +166,12 @@ def _reduce_to_model(
     for _, row in small[small["tag"] == "e"].iterrows():
         excluded[float(row["xk"])] = _special(row)
 
-    agg = FitAggregates(
+    return FitAggregates(
         groups=groups,
         clean_n_rows=clean_n_rows,
         y_distinct=[float(v) for v in ydist],
         missing=missing_stats,
         excluded=excluded,
-    )
-    return fit_from_aggregates(
-        agg,
-        sign=sign,
-        strict=strict,
-        constraints=constraints,
-        merge_strategy=merge_strategy,
     )
 
 
