@@ -129,13 +129,19 @@ def welch_pvalue(
 
     t_stat = abs(mean_a - mean_b) / math.sqrt(se_sq)
 
-    if var_a > 0 and var_b > 0:
-        df_num = se_sq**2
+    # Welch–Satterthwaite needs n>1 on both sides; with a Block input
+    # var>0 implies n>=2 (Block.var is 0 for n<=1, MOBPY/core/pava.py:73),
+    # so the extra n guards only protect direct callers passing raw stats.
+    df_denom = 0.0
+    if var_a > 0 and var_b > 0 and na > 1 and nb > 1:
         df_denom = (var_a / na) ** 2 / (na - 1) + (var_b / nb) ** 2 / (nb - 1)
-        df = df_num / df_denom
+    if df_denom > 0:
+        df = se_sq**2 / df_denom
         df = max(1.0, min(df, float(na + nb - 2)))
     else:
-        df = float(na + nb - 2)
+        # subnormal variances can square to exactly 0 — fall back like the
+        # reference's zero-variance branch
+        df = float(max(1, na + nb - 2))
 
     p = 2.0 * t_sf(abs(t_stat), df)
     if p < 0.0:
