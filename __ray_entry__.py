@@ -340,6 +340,51 @@ def q_distinct_users(sf_dir):
     )
 
 
+def q_orders_customer_join(sf_dir):
+    """Large-large partitioned hash join: orders x customer."""
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+                  batch_format="pyarrow")
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+                  batch_format="pyarrow")
+    joined = hash_join(orders, customer, on="custkey", how="inner",
+                       right_cols=["c_mktsegment"], num_buckets=16)
+    out = joined.to_pandas()
+    out["o_totalprice"] = np.round(out["o_totalprice"], 2)
+    return out[["o_orderkey", "custkey", "o_totalprice", "c_mktsegment"]]
+
+
+def q_orders_semi_join(sf_dir):
+    """Semi join: orders whose customer is in the BUILDING segment."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mobray.pipelines.relational import semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey"]),
+                  batch_format="pyarrow")
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+    out = semi_join(orders, building, on="custkey", num_buckets=16)
+    return out.map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+
+
 def q_top_orders(sf_dir):
     """Global sort + limit: top-10 orders by total price."""
     import ray.data
@@ -576,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": q_topk_events,
         "session_stats_events": q_session_stats_events,
         "distinct_users": q_distinct_users,
+        "orders_customer_join": q_orders_customer_join,
+        "orders_semi_join": q_orders_semi_join,
         "top_orders": q_top_orders,
         "group_centroids": q_group_centroids,
         "hopping_events": q_hopping_events,
@@ -698,6 +745,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey AS custkey,
+                   round(o.o_totalprice, 2) AS o_totalprice, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "orders_semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -1,0 +1,139 @@
+"""General relational joins for large-large inputs.
+
+The broadcast pattern (``ray.put`` a small side, look up inside
+map_batches — see ``__ray_entry__.q_customer_nation_join``) covers
+dimension tables; this module covers the large-large case with the
+portable partitioned hash join: tag + hash-bucket both sides on the key,
+co-locate buckets with ONE groupby exchange, and run a vectorized pandas
+merge per bucket.
+
+PARTITIONING ASSUMPTION: equal keys hash to the same bucket (stable
+``pd.util.hash_array``). Skewed keys: a hot key cannot be split for an
+inner/left join without replicating the other side; bucket fan-out
+(``num_buckets``) bounds the blast radius, and the classic salt-and-
+replicate refinement can be layered on by salting the SMALL side's hot
+keys — documented, not implemented (no workload here needs it).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mobray.pipelines.temporal import BUCKET_COL, _arrow_types, _hash_bucket, _per_bucket
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    how: str = "inner",
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """Distributed equi-join of two Datasets on ``on``.
+
+    ``how``: 'inner' or 'left'. ``right_cols`` limits the right-side
+    payload (default: all non-key columns). SQL-equivalent:
+    ``SELECT ... FROM left [INNER|LEFT] JOIN right USING (on)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    left_names = [c for c in left.schema().names if c != BUCKET_COL]
+    right_names = [c for c in right.schema().names if c != BUCKET_COL]
+    rcols = [c for c in (right_cols or right_names) if c != on]
+    out_rcols = [c + suffix if c in left_names else c for c in rcols]
+
+    right_types = _arrow_types(right.schema())
+    left_types = _arrow_types(left.schema())
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.select(left_names)
+        batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        for rc, oc in zip(rcols, out_rcols):
+            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
+        kv = batch[on].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table({on: batch[on]})
+        out = out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        for lc in left_names:
+            if lc == on:
+                continue
+            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+        for rc, oc in zip(rcols, out_rcols):
+            out = out.append_column(oc, batch[rc])
+        kv = out[on].to_numpy(zero_copy_only=False)
+        out = out.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
+        return out.select(order)
+
+    lpad = left.map_batches(pad_left, batch_format="pyarrow")
+    rpad = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lpad.union(rpad)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
+        rdf = g[g["__side"] == 1][[on] + out_rcols]
+        if len(ldf) == 0:
+            return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
+        merged = ldf.merge(rdf, on=on, how=how)
+        return merged
+
+    return _per_bucket(both, on, num_buckets, fn)
+
+
+def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64):
+    """Semi (rows of left with a match in right) / anti join via the same
+    bucketed exchange, shipping ONLY the right side's key column. For a
+    small right side prefer a broadcast key-set filter instead."""
+    left_names = [c for c in left.schema().names if c != BUCKET_COL]
+    left_types = _arrow_types(left.schema())
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.select(left_names)
+        batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        kv = batch[on].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table({on: batch[on]})
+        out = out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        for lc in left_names:
+            if lc == on:
+                continue
+            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+        kv = out[on].to_numpy(zero_copy_only=False)
+        out = out.append_column(
+            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+        )
+        return out.select(left_names + ["__side", BUCKET_COL])
+
+    both = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g["__side"] == 0].drop(columns="__side")
+        keys = set(g.loc[g["__side"] == 1, on])
+        mask = ldf[on].isin(keys)
+        return ldf[~mask] if anti else ldf[mask]
+
+    return _per_bucket(both, on, num_buckets, fn)
