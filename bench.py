@@ -343,17 +343,24 @@ def _record_baseline(result: dict) -> None:
         f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
         f"| {result['scaling_efficiency']} |\n"
     )
-    end_marker = "## Scaling methodology"
+    row = (
+        f"| {result['sf']} | {result['cpus_lo']}/{result['cpus_hi']} "
+        f"| {result['sec_lo']} | {result['sec_hi']} "
+        f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
+        f"| {result['scaling_efficiency']} |\n"
+    )
     try:
         with open(path) as f:
             content = f.read()
-        tail = ""
-        if end_marker in content:
-            tail = "\n" + content[content.index(end_marker):]
         if marker in content:
-            content = content[: content.index(marker)].rstrip() + "\n" + entry + tail
+            # append the new measurement as a history row after the table
+            table_start = content.index(marker)
+            insert_at = content.find("\n\n", content.find("|---", table_start))
+            if insert_at == -1:
+                insert_at = len(content)
+            content = content[:insert_at] + row.rstrip("\n") + "\n" + content[insert_at:]
         else:
-            content = content.rstrip() + "\n" + entry + tail
+            content = content.rstrip() + "\n" + entry
         with open(path, "w") as f:
             f.write(content)
     except OSError:
