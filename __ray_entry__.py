@@ -233,9 +233,12 @@ def q_asof_join_events(sf_dir):
     out = asof_join(
         left, right, key="user_id", ts="ts", right_cols=["value"], num_buckets=16
     )
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["event_id", "user_id", "value"]), batch_format="pyarrow"
     )
+    # map_groups block order is nondeterministic -> sort by key for the
+    # driver's order-sensitive value hash (values themselves are exact)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 def q_lag_lead_events(sf_dir):
@@ -244,19 +247,21 @@ def q_lag_lead_events(sf_dir):
     out = lag_lead(
         _events(sf_dir), "user_id", "ts", ["value"], lags=[1], leads=[1], num_buckets=16
     )
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["event_id", "value_lag1", "value_lead1"]),
         batch_format="pyarrow",
     )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 def q_sessionize_events(sf_dir):
     from mobray.pipelines.temporal import sessionize
 
     out = sessionize(_events(sf_dir), "user_id", "ts", gap="30min", num_buckets=16)
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["event_id", "session_seq"]), batch_format="pyarrow"
     )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 def q_backfill_events(sf_dir):
@@ -275,9 +280,10 @@ def q_backfill_events(sf_dir):
 
     ds = _events(sf_dir).map_batches(null_non_purchase, batch_format="pyarrow")
     out = backfill(ds, "user_id", "ts", ["pv"], num_buckets=16)
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["event_id", "pv_filled"]), batch_format="pyarrow"
     )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 def q_tumbling_events(sf_dir):
@@ -287,6 +293,7 @@ def q_tumbling_events(sf_dir):
 
     out = tumbling_window(_events(sf_dir), "user_id", "ts", "1h", "value").to_pandas()
     out["sum_value"] = np.round(out["sum_value"], 4)
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     return out[
         ["user_id", "window_start", "n_events", "sum_value", "min_value", "max_value"]
     ]
@@ -301,6 +308,7 @@ def q_rolling_events(sf_dir):
         _events(sf_dir), "user_id", "ts", "value", window_rows=4, num_buckets=16
     ).to_pandas()
     out["value_rmean"] = np.round(out["value_rmean"], 6)
+    out = out.sort_values("event_id").reset_index(drop=True)
     return out[["event_id", "value_rmean", "value_rmin", "value_rmax", "value_rcount"]]
 
 
@@ -308,9 +316,10 @@ def q_topk_events(sf_dir):
     from mobray.pipelines.temporal import topk_per_key
 
     out = topk_per_key(_events(sf_dir), "user_id", "value", k=3, num_buckets=16)
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["user_id", "rank", "value"]), batch_format="pyarrow"
     )
+    return out.to_pandas().sort_values(["user_id", "rank"]).reset_index(drop=True)
 
 
 def q_session_stats_events(sf_dir):
@@ -322,6 +331,7 @@ def q_session_stats_events(sf_dir):
         _events(sf_dir), "user_id", "ts", "value", gap="30min", num_buckets=16
     ).to_pandas()
     out["sum_value"] = np.round(out["sum_value"], 4)
+    out = out.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
     return out[["user_id", "session_seq", "n_events", "sum_value", "duration_us"]]
 
 
@@ -333,11 +343,12 @@ def q_distinct_users(sf_dir):
         .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="__c"))
     )
-    return (
+    out = (
         pairs.groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
         .map_batches(lambda t: t.select(["event_type", "n_users"]), batch_format="pyarrow")
     )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
 def q_orders_customer_join(sf_dir):
@@ -359,6 +370,7 @@ def q_orders_customer_join(sf_dir):
                        right_cols=["c_mktsegment"], num_buckets=16)
     out = joined.to_pandas()
     out["o_totalprice"] = np.round(out["o_totalprice"], 2)
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
     return out[["o_orderkey", "custkey", "o_totalprice", "c_mktsegment"]]
 
 
@@ -382,7 +394,8 @@ def q_orders_semi_join(sf_dir):
         batch_format="pyarrow",
     )
     out = semi_join(orders, building, on="custkey", num_buckets=16)
-    return out.map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+    out = out.map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
 def q_top_orders(sf_dir):
@@ -418,7 +431,7 @@ def q_group_centroids(sf_dir):
             "c2": np.round(cents[:, 2], 3),
             "c3": np.round(cents[:, 3], 3),
         }
-    )
+    ).sort_values("label").reset_index(drop=True)
 
 
 def q_hopping_events(sf_dir):
@@ -430,6 +443,7 @@ def q_hopping_events(sf_dir):
         _events(sf_dir), "user_id", "ts", "value", window="1h", hop="30min"
     ).to_pandas()
     out["sum_value"] = np.round(out["sum_value"], 4)
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     return out[["user_id", "window_start", "n_events", "sum_value"]]
 
 
@@ -440,9 +454,10 @@ def q_dedup_exact_docs(sf_dir):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds, "text", "doc_id")
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow"
     )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def q_text_tokens_docs(sf_dir):
@@ -454,9 +469,10 @@ def q_text_tokens_docs(sf_dir):
     # instance (stateless tasks) rather than an actor pool: never reserves
     # CPUs away from the read stage regardless of the driver's session size
     out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.select(["doc_id", "n_ws_tokens"]), batch_format="pyarrow"
     )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def q_filter_docs(sf_dir):
@@ -475,7 +491,8 @@ def q_filter_docs(sf_dir):
         )
         return t.filter(mask).select(["doc_id"])
 
-    return ds.map_batches(flt, batch_format="pyarrow")
+    out = ds.map_batches(flt, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def q_lang_counts_docs(sf_dir):
@@ -483,7 +500,8 @@ def q_lang_counts_docs(sf_dir):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+    out = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
 
 
 def q_orders_status_agg(sf_dir):
@@ -500,7 +518,7 @@ def q_orders_status_agg(sf_dir):
         .to_pandas()
     )
     out["sum_total"] = np.round(out["sum_total"], 2)
-    return out
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
 def q_customer_nation_join(sf_dir):
@@ -519,11 +537,12 @@ def q_customer_nation_join(sf_dir):
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    return (
+    out = (
         ds.map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(alias_name="n"))
     )
+    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
 
 
 def q_knn_cosine(sf_dir):
@@ -689,9 +708,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_events": """
             SELECT event_id,
-                   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+                     OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
             FROM (SELECT event_id, user_id, ts,
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events)
@@ -730,9 +749,9 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": """
             WITH tagged AS (
                 SELECT user_id, ts, value,
-                       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                                 THEN 1 ELSE 0 END)
-                         OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+                         OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
                 FROM (SELECT user_id, ts, value,
                              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                       FROM events))

@@ -23,7 +23,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from mobray.pipelines.temporal import BUCKET_COL, _arrow_types, _hash_bucket, _per_bucket
+from mobray.pipelines.temporal import (
+    BUCKET_COL,
+    _arrow_types,
+    _hash_bucket,
+    _per_bucket,
+    restore_pad_dtypes,
+)
 
 
 def hash_join(
@@ -91,6 +97,11 @@ def hash_join(
         if len(ldf) == 0:
             return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
         merged = ldf.merge(rdf, on=on, how=how)
+        merged = restore_pad_dtypes(merged, left_types)
+        if how == "inner":
+            merged = restore_pad_dtypes(merged, {
+                oc: right_types[rc] for rc, oc in zip(rcols, out_rcols)
+            })
         return merged
 
     return _per_bucket(both, on, num_buckets, fn)
@@ -134,6 +145,7 @@ def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64
         ldf = g[g["__side"] == 0].drop(columns="__side")
         keys = set(g.loc[g["__side"] == 1, on])
         mask = ldf[on].isin(keys)
-        return ldf[~mask] if anti else ldf[mask]
+        out = ldf[~mask] if anti else ldf[mask]
+        return restore_pad_dtypes(out.copy(), left_types)
 
     return _per_bucket(both, on, num_buckets, fn)

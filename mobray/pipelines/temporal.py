@@ -51,6 +51,27 @@ def _arrow_types(schema) -> dict:
     return out
 
 
+def restore_pad_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
+    """Undo pandas' dtype widening caused by null-padding in a union.
+
+    The padded-union exchange (as-of / hash / semi join) appends null
+    rows to every left column, so int64 columns come out of the bucket
+    frame as float64 and bool columns as object. After the per-bucket
+    merge/filter drops the padding rows, cast columns that are non-null
+    back to their original arrow-derived dtype so the join output schema
+    equals the input schema."""
+    for c, t in arrow_types.items():
+        if c not in df.columns:
+            continue
+        if pa.types.is_integer(t) and df[c].dtype.kind == "f":
+            if not df[c].isna().any():
+                df[c] = df[c].astype(t.to_pandas_dtype())
+        elif pa.types.is_boolean(t) and df[c].dtype == object:
+            if not df[c].isna().any():
+                df[c] = df[c].astype(bool)
+    return df
+
+
 def with_buckets(ds, key: str, num_buckets: int = 64):
     """Append a stable hash-bucket column for the entity key."""
 
@@ -240,6 +261,7 @@ def asof_join_prepadded(
             tolerance=tol,
             allow_exact_matches=allow_exact_matches,
         )
+        merged = restore_pad_dtypes(merged, left_types)
         if post_fn is not None:
             merged = post_fn(merged)
         return merged
