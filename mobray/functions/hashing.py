@@ -14,6 +14,30 @@ import pandas as pd
 
 _HASH_KEY = "0123456789123456"
 _MERSENNE = (1 << 61) - 1
+_P = np.uint64(_MERSENNE)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
+
+
+def mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod (2^61 - 1) on uint64 arrays, vectorized.
+
+    numpy has no 128-bit ints, so split both operands into 31/30-bit
+    halves; every intermediate then fits in uint64 and 2^61 === 1 (mod p)
+    folds the high parts back. This makes the minhash hash family the
+    REAL universal family (a*x + b) mod p — a plain uint64 multiply
+    would wrap mod 2^64 first and void the uniformity guarantee."""
+    a = a % _P
+    x = x % _P
+    a_hi, a_lo = a >> np.uint64(31), a & _MASK31
+    x_hi, x_lo = x >> np.uint64(31), x & _MASK31
+    # a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo
+    hi = (a_hi * x_hi) % _P           # operands < 2^30 -> product < 2^60
+    mid = (a_hi * x_lo + a_lo * x_hi) % _P  # each < 2^61, sum < 2^62
+    lo = (a_lo * x_lo) % _P           # < 2^62
+    # mid * 2^31 mod p with mid = u*2^30 + v: u*2^61 + v*2^31 === u + v*2^31
+    mid_shift = ((mid >> np.uint64(30)) + ((mid & _MASK30) << np.uint64(31))) % _P
+    return ((np.uint64(2) * hi) % _P + mid_shift + lo) % _P
 
 
 def stable_hash64(values) -> np.ndarray:
@@ -47,13 +71,66 @@ def minhash_params(num_perm: int, seed: int = 7) -> tuple:
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (num_perm,) uint64 from base shingle hashes."""
+    """MinHash signature (num_perm,) uint64 from base shingle hashes,
+    using the exact universal family h_i(x) = (a_i*x + b_i) mod (2^61-1)."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    x = (shingle_hashes % _MERSENNE).astype(np.uint64)
-    # (num_perm, n_shingles) — fine for documents (hundreds of shingles)
-    vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
+    x = (shingle_hashes % _P).astype(np.uint64)
+    vals = (mulmod61(a[:, None], x[None, :]) + b[:, None]) % _P
     return vals.min(axis=1)
+
+
+def minhash_signatures(
+    shingle_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batched MinHash: signatures for MANY documents in one vectorized
+    pass (the per-batch hot path of the LSH dedup stage).
+
+    ``shingle_hashes`` is the concatenation of all docs' shingle hashes;
+    ``offsets[i]`` is doc i's start (len(offsets) = n_docs). Returns
+    (n_docs, num_perm) uint64. Empty docs get the sentinel p (same as
+    minhash_signature). Perm axis is chunked so the intermediate
+    (chunk, total_shingles) matrix stays bounded."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_docs = len(offsets)
+    num_perm = len(a)
+    out = np.full((n_docs, num_perm), _MERSENNE, dtype=np.uint64)
+    total = len(shingle_hashes)
+    if total == 0 or n_docs == 0:
+        return out
+    counts = np.diff(np.append(offsets, total))
+    nonempty = counts > 0
+    ne_offsets = offsets[nonempty]
+    x = (np.asarray(shingle_hashes, dtype=np.uint64) % _P)
+    # chunk perms: keep chunk*total <= ~4M uint64 (~32 MB of intermediates)
+    chunk = max(1, int(4_000_000 // max(1, total)))
+    for s in range(0, num_perm, chunk):
+        e = min(num_perm, s + chunk)
+        vals = (mulmod61(a[s:e, None], x[None, :]) + b[s:e, None]) % _P
+        # per-doc min via reduceat on the shingle axis (empty docs excluded:
+        # reduceat would misreport them as the next doc's first element)
+        mins = np.minimum.reduceat(vals, ne_offsets, axis=1)
+        out[nonempty, s:e] = mins.T
+    return out
+
+
+_BAND_PRIME = np.uint64(1099511628211)  # FNV-64 prime, wraparound combine
+
+
+def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized LSH band keys for a signature MATRIX (n_docs, num_perm)
+    -> (n_docs, bands) int64. Key = polynomial rolling combine of the
+    band's r signature slots (uint64 wraparound, deterministic across
+    workers), offset by the band index so identical content in different
+    bands never collides."""
+    n_docs, num_perm = sigs.shape
+    r = num_perm // bands
+    view = sigs[:, : bands * r].reshape(n_docs, bands, r)
+    key = np.full((n_docs, bands), np.uint64(1469598103934665603))  # FNV offset
+    for j in range(r):
+        key = key * _BAND_PRIME + view[:, :, j]
+    key = key * _BAND_PRIME + np.arange(bands, dtype=np.uint64)[None, :]
+    return (key & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -83,12 +160,41 @@ def simhash64(tokens: List[str]) -> int:
     if not tokens:
         return 0
     th = stable_hash64(tokens)
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int64
-    )
-    score = (bits * 2 - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if score[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    return int(simhash64_batch(th, np.array([0], dtype=np.int64))[0])
+
+
+def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Batched SimHash: one int64 simhash per document from the
+    concatenated token hashes + per-doc start offsets. Bit-identical to
+    per-doc simhash64 (majority of each of the 64 bits, count-weighted);
+    empty docs hash to 0."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_docs = len(offsets)
+    out = np.zeros(n_docs, dtype=np.int64)
+    total = len(token_hashes)
+    if total == 0 or n_docs == 0:
+        return out
+    counts = np.diff(np.append(offsets, total))
+    nonempty = counts > 0
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    # chunk docs so the (tokens, 64) bit matrix stays bounded
+    ne_idx = np.flatnonzero(nonempty)
+    starts = offsets[ne_idx]
+    ends = starts + counts[ne_idx]
+    doc_chunk = max(1, int(2_000_000 // 64))
+    pos = 0
+    while pos < len(ne_idx):
+        hi = min(len(ne_idx), pos + doc_chunk)
+        lo_off, hi_off = starts[pos], ends[hi - 1]
+        sub = th[lo_off:hi_off]
+        bits = ((sub[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, (starts[pos:hi] - lo_off), axis=0)
+        n_tok = counts[ne_idx[pos:hi]][:, None]
+        majority = (2 * ones) > n_tok  # score = 2*ones - n > 0
+        vals = (majority.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[ne_idx[pos:hi]] = vals.view(np.int64)
+        pos = hi
+    return out

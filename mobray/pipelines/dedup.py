@@ -22,13 +22,13 @@ import pandas as pd
 import pyarrow as pa
 
 from mobray.functions.hashing import (
-    band_keys,
+    band_keys_matrix,
     char_shingles,
     estimate_jaccard,
     jaccard,
     minhash_params,
-    minhash_signature,
-    simhash64,
+    minhash_signatures,
+    simhash64_batch,
     stable_hash64,
     word_ngrams,
 )
@@ -98,19 +98,28 @@ def minhash_lsh_dedup(
     def sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_pylist()
-        out_band, out_id, out_sig = [], [], []
+        # shingling is row-wise by nature, but ALL hashing is batched:
+        # one stable_hash64 over the batch's concatenated shingles, one
+        # vectorized minhash pass (reduceat over per-doc offsets), one
+        # vectorized band-key combine
+        all_sh: List[str] = []
+        offsets = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            sh = char_shingles(t or "", shingle_k)
-            sig = minhash_signature(stable_hash64(sh), a, b)
-            for bk in band_keys(sig, bands):
-                out_band.append(int(bk & np.uint64(0x7FFFFFFFFFFFFFFF)))
-                out_id.append(ids[i])
-                out_sig.append(sig.tobytes())
+            offsets[i] = len(all_sh)
+            all_sh.extend(char_shingles(t or "", shingle_k))
+        hashes = stable_hash64(all_sh) if all_sh else np.empty(0, np.uint64)
+        sigs = minhash_signatures(hashes, offsets, a, b)
+        keys = band_keys_matrix(sigs, bands)  # (n_docs, bands)
+        n = len(texts)
+        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.int64()),
-                "doc": out_id,
-                "sig": pa.array(out_sig, pa.binary()),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "doc": pa.array(np.repeat(np.asarray(ids, dtype=object), bands)),
+                "sig": pa.array(
+                    [sig_bytes[i] for i in range(n) for _ in range(bands)],
+                    pa.binary(),
+                ),
             }
         )
 
@@ -166,20 +175,26 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
     def sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_pylist()
-        out_chunk, out_id, out_sig = [], [], []
+        # tokenization is row-wise; hashing + bit-majority are batched
+        toks: List[str] = []
+        offsets = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            s = simhash64((t or "").lower().split())
-            u = np.uint64(s)
-            for c in range(4):
-                chunk = int((u >> np.uint64(16 * c)) & np.uint64(0xFFFF))
-                out_chunk.append(c * 65536 + chunk)
-                out_id.append(ids[i])
-                out_sig.append(s)
+            offsets[i] = len(toks)
+            toks.extend((t or "").lower().split())
+        hashes = stable_hash64(toks) if toks else np.empty(0, np.uint64)
+        sigs = simhash64_batch(hashes, offsets)  # (n_docs,) int64
+        u = sigs.view(np.uint64)
+        chunks = np.empty((len(texts), 4), dtype=np.int64)
+        for c in range(4):
+            chunks[:, c] = (
+                c * 65536
+                + ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
         return pa.table(
             {
-                "chunk_key": pa.array(out_chunk, pa.int64()),
-                "doc": out_id,
-                "sig": pa.array(out_sig, pa.int64()),
+                "chunk_key": pa.array(chunks.ravel(), pa.int64()),
+                "doc": pa.array(np.repeat(np.asarray(ids, dtype=object), 4)),
+                "sig": pa.array(np.repeat(sigs, 4), pa.int64()),
             }
         )
 
@@ -208,7 +223,11 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
-    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -233,7 +252,7 @@ def ngram_jaccard_pairs(
         else:
             key = rolling_fingerprint(texts).astype(np.uint64)
         return batch.append_column(
-            "__bucket", pa.array(key.astype(np.int64), pa.int64())
+            "__ngram_bucket", pa.array(key.astype(np.int64), pa.int64())
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -254,7 +273,7 @@ def ngram_jaccard_pairs(
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .groupby("__ngram_bucket")
         .map_groups(verify, batch_format="pandas")
     )
 
@@ -311,7 +330,11 @@ def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
-    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
 
 
 def embedding_neardup_pairs(

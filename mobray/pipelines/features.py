@@ -82,7 +82,10 @@ class PayloadStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.decode(batch)
-        batch = batch.drop_columns(["bytes"])
+        # payloads (and the per-row reference thumbs, already consumed by
+        # the PSNR gate) never enter the shuffle
+        drop = ["bytes"] + (["ref_thumb"] if "ref_thumb" in batch.schema.names else [])
+        batch = batch.drop_columns(drop)
         batch = image_feature_stage(batch)
         batch = self.score(batch)
         return self.pad(batch)

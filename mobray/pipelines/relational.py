@@ -24,10 +24,11 @@ import pandas as pd
 import pyarrow as pa
 
 from mobray.pipelines.temporal import (
-    BUCKET_COL,
     _arrow_types,
     _hash_bucket,
     _per_bucket,
+    bucket_col_for,
+    is_bucket_col,
     restore_pad_dtypes,
 )
 
@@ -51,13 +52,14 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
-    left_names = [c for c in left.schema().names if c != BUCKET_COL]
-    right_names = [c for c in right.schema().names if c != BUCKET_COL]
+    left_names = [c for c in left.schema().names if not is_bucket_col(c)]
+    right_names = [c for c in right.schema().names if not is_bucket_col(c)]
     rcols = [c for c in (right_cols or right_names) if c != on]
     out_rcols = [c + suffix if c in left_names else c for c in rcols]
 
     right_types = _arrow_types(right.schema())
     left_types = _arrow_types(left.schema())
+    bc = bucket_col_for(on)
 
     def pad_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -67,7 +69,7 @@ def hash_join(
             batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
         kv = batch[on].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
 
     def pad_right(batch: pa.Table) -> pa.Table:
@@ -82,9 +84,9 @@ def hash_join(
             out = out.append_column(oc, batch[rc])
         kv = out[on].to_numpy(zero_copy_only=False)
         out = out.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
-        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
+        order = left_names + ["__side"] + out_rcols + [bc]
         return out.select(order)
 
     lpad = left.map_batches(pad_left, batch_format="pyarrow")
@@ -111,8 +113,9 @@ def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64
     """Semi (rows of left with a match in right) / anti join via the same
     bucketed exchange, shipping ONLY the right side's key column. For a
     small right side prefer a broadcast key-set filter instead."""
-    left_names = [c for c in left.schema().names if c != BUCKET_COL]
+    left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     left_types = _arrow_types(left.schema())
+    bc = bucket_col_for(on)
 
     def pad_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -120,7 +123,7 @@ def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64
         batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         kv = batch[on].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
 
     def pad_right(batch: pa.Table) -> pa.Table:
@@ -133,9 +136,9 @@ def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64
             out = out.append_column(lc, pa.nulls(n, left_types[lc]))
         kv = out[on].to_numpy(zero_copy_only=False)
         out = out.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
-        return out.select(left_names + ["__side", BUCKET_COL])
+        return out.select(left_names + ["__side", bc])
 
     both = left.map_batches(pad_left, batch_format="pyarrow").union(
         right.map_batches(pad_right, batch_format="pyarrow")

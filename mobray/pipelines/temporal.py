@@ -28,12 +28,38 @@ import pandas as pd
 import pyarrow as pa
 
 _HASH_KEY = "0123456789123456"  # fixed pandas hash key -> stable across workers
-BUCKET_COL = "__bucket"
+BUCKET_COL = "__bucket"  # prefix; the actual column encodes the key
+
+
+def bucket_col_for(key: str) -> str:
+    """Bucket-column name with the partitioning key baked in, so a
+    pre-bucketed dataset can never be silently reused by an operator
+    keyed on a DIFFERENT column (that would split entities across
+    buckets and corrupt per-entity results)."""
+    return f"{BUCKET_COL}__{key}"
+
+
+def is_bucket_col(name: str) -> bool:
+    return name.startswith(BUCKET_COL)
 
 
 def _hash_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
     return (pd.util.hash_array(values, hash_key=_HASH_KEY) % num_buckets).astype(
         np.int32
+    )
+
+
+def _ts_us(batch: pa.Table, ts: str) -> np.ndarray:
+    """Timestamp column -> int64 microseconds regardless of the source
+    unit (timestamp[s|ms|us|ns] all appear in the wild; a raw int64 cast
+    of ns input would make windows 1000x too small)."""
+    import pyarrow.compute as pc
+
+    col = batch[ts]
+    if not pa.types.is_timestamp(col.type):
+        raise TypeError(f"column {ts!r} is {col.type}, expected a timestamp")
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
     )
 
 
@@ -73,12 +99,14 @@ def restore_pad_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
 
 
 def with_buckets(ds, key: str, num_buckets: int = 64):
-    """Append a stable hash-bucket column for the entity key."""
+    """Append a stable hash-bucket column for the entity key (named
+    ``__bucket__{key}`` so reuse is key-safe)."""
+    bc = bucket_col_for(key)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         vals = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(vals, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(vals, num_buckets), pa.int32())
         )
 
     return ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -86,14 +114,16 @@ def with_buckets(ds, key: str, num_buckets: int = 64):
 
 def _per_bucket(ds, key: str, num_buckets: int, fn):
     """bucket -> groupby -> vectorized pandas fn per bucket, dropping the
-    bucket column on the way out."""
-    bucketed = ds if BUCKET_COL in ds.schema().names else with_buckets(ds, key, num_buckets)
+    bucket column on the way out. A pre-existing bucket column is reused
+    ONLY when it was computed for the same key (name-encoded)."""
+    bc = bucket_col_for(key)
+    bucketed = ds if bc in ds.schema().names else with_buckets(ds, key, num_buckets)
 
     def wrapped(g: pd.DataFrame) -> pd.DataFrame:
         out = fn(g)
-        return out.drop(columns=[BUCKET_COL], errors="ignore")
+        return out.drop(columns=[bc], errors="ignore")
 
-    return bucketed.groupby(BUCKET_COL).map_groups(wrapped, batch_format="pandas")
+    return bucketed.groupby(bc).map_groups(wrapped, batch_format="pandas")
 
 
 def lag_lead(
@@ -188,6 +218,8 @@ def make_pad_left_fn(
     stage (e.g. inside a decode actor pool) instead of paying a separate
     map operator."""
 
+    bc = bucket_col_for(key)
+
     def pad_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
@@ -195,7 +227,7 @@ def make_pad_left_fn(
             batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
         kv = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
 
     return pad_left
@@ -221,6 +253,8 @@ def asof_join_prepadded(
     (via make_pad_left_fn, possibly fused into an upstream actor stage).
     See asof_join for semantics."""
 
+    bc = bucket_col_for(key)
+
     def pad_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {key: batch[key], ts: batch[ts]}
@@ -234,10 +268,10 @@ def asof_join_prepadded(
             out = out.append_column(oc, batch[rc])
         kv = out[key].to_numpy(zero_copy_only=False)
         out = out.append_column(
-            BUCKET_COL, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
+            bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
         )
         # match left's column order
-        order = left_names + ["__side"] + out_rcols + [BUCKET_COL]
+        order = left_names + ["__side"] + out_rcols + [bc]
         return out.select(order)
 
     rpad = right.map_batches(pad_right, batch_format="pyarrow")
@@ -304,7 +338,7 @@ def asof_join(
     machinery. Broadcast variant: if the right side is tiny, prefer
     ``asof_join_broadcast``.
     """
-    left_names = [c for c in left.schema().names if c != BUCKET_COL]
+    left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     rcols = list(right_cols)
     out_rcols = [c + suffix if c in left_names else c for c in rcols]
 
@@ -401,7 +435,7 @@ def hopping_window(
     k = window_us // hop_us
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts_us = pc.cast(batch[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_us = _ts_us(batch, ts)
         keys = batch[key].to_numpy(zero_copy_only=False)
         vals = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
         # each event belongs to the k windows starting at
@@ -551,7 +585,7 @@ def tumbling_window(
     window_us = int(pd.Timedelta(window).value // 1000)
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts_us = pc.cast(batch[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_us = _ts_us(batch, ts)
         keys = batch[key].to_numpy(zero_copy_only=False)
         vals = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
         wstart = (ts_us // window_us) * window_us

@@ -157,8 +157,11 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     cb = (np.arange(out_w) * w) // out_w
     acc = pixels.astype(np.float64)
     sums = np.add.reduceat(np.add.reduceat(acc, rb, axis=0), cb, axis=1)
-    rcounts = np.diff(np.append(rb, h)).astype(np.float64)
-    ccounts = np.diff(np.append(cb, w)).astype(np.float64)
+    # upscaling duplicates cell boundaries; reduceat then yields the
+    # single source pixel for the zero-width cell, so clamping the count
+    # to 1 gives exact nearest-cell repetition (not inf/clipped-255)
+    rcounts = np.maximum(np.diff(np.append(rb, h)), 1).astype(np.float64)
+    ccounts = np.maximum(np.diff(np.append(cb, w)), 1).astype(np.float64)
     area = np.outer(rcounts, ccounts)[:, :, None]
     out = sums / area
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -27,7 +27,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from mobray.functions.phash import phash64, popcount64
-from mobray.sources.codec import encode_image
+from mobray.sources.codec import encode_image, resize_area
+
+# ref_thumb: 8x8x3 uint8 area-resized REFERENCE pixels, stored by the
+# generator as an independent fidelity target so the decode/verify stage
+# can compute a real PSNR (a lossy or corrupted decode shows up as a
+# finite/low psnr_db instead of a vacuous self-comparison).
+REF_THUMB_SIZE = 8
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -40,6 +46,7 @@ IMAGE_SCHEMA = pa.schema(
         ("phash", pa.int64()),
         ("event_ts", pa.timestamp("us")),
         ("label", pa.float64()),
+        ("ref_thumb", pa.binary()),
     ]
 )
 
@@ -87,6 +94,7 @@ def gen_entity_rows(seed: int, entity: int, snapshots: int) -> dict:
     ts = start + np.cumsum(gaps)
 
     ids, blobs, ws, hs, fmts, captions, phashes, labels = [], [], [], [], [], [], [], []
+    thumbs = []
     for k in range(snapshots):
         px = base.copy()
         if k > 0:
@@ -107,6 +115,7 @@ def gen_entity_rows(seed: int, entity: int, snapshots: int) -> dict:
         captions.append(caption)
         phashes.append(ph)
         labels.append(label)
+        thumbs.append(resize_area(px, REF_THUMB_SIZE, REF_THUMB_SIZE).tobytes())
 
     return {
         "image_id": ids,
@@ -118,6 +127,7 @@ def gen_entity_rows(seed: int, entity: int, snapshots: int) -> dict:
         "phash": phashes,
         "event_ts": ts.tolist(),
         "label": labels,
+        "ref_thumb": thumbs,
     }
 
 
@@ -137,6 +147,7 @@ def gen_entities_table(seed: int, entities: List[int], snapshots: int) -> pa.Tab
         pa.array(cols["phash"], pa.int64()),
         pa.array(cols["event_ts"], pa.timestamp("us")),
         pa.array(cols["label"], pa.float64()),
+        pa.array(cols["ref_thumb"], pa.binary()),
     ]
     return pa.Table.from_arrays(arrays, schema=IMAGE_SCHEMA)
 
@@ -186,9 +197,11 @@ def generate_image_table(
     img_dir = os.path.join(out_dir, "images")
     attr_dir = os.path.join(out_dir, "attrs")
     done_marker = os.path.join(out_dir, "_GEN_DONE")
+    # v2: schema gained ref_thumb -> stale v1 caches regenerate
+    marker_text = f"v2:{seed}:{n_entities}:{snapshots}"
     if os.path.exists(done_marker) and not overwrite:
         with open(done_marker) as f:
-            if f.read().strip() == f"{seed}:{n_entities}:{snapshots}":
+            if f.read().strip() == marker_text:
                 return out_dir
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(attr_dir, exist_ok=True)
@@ -229,7 +242,7 @@ def generate_image_table(
             _write_shard(sid, ents)
 
     with open(done_marker, "w") as f:
-        f.write(f"{seed}:{n_entities}:{snapshots}")
+        f.write(marker_text)
     return out_dir
 
 

@@ -37,13 +37,16 @@ class DecodeVerifyStage:
     Appends:
       decode_ok:bool    decode succeeded
       phash_match:bool  recomputed phash == stored phash column
-      psnr_db:float64   vs the decoded reference (inf for lossless; the
-                        north-star gate is >= 40 dB)
+      psnr_db:float64   fidelity vs the generator's stored ``ref_thumb``
+                        reference thumbnail (8x8 area-resize of the TRUE
+                        pixels): inf for an exact lossless decode, finite
+                        for a lossy codec or a corrupted-but-decodable
+                        payload. NaN when the input table carries no
+                        ``ref_thumb`` column — without an independent
+                        reference there is no honest PSNR (a
+                        self-comparison would be identically inf for any
+                        codec), so the gate is explicitly not claimed.
       brightness:float64  mean pixel value (a cheap decoded feature)
-
-    For the lossless png/raw codecs psnr is inf by construction; the
-    column exists so a lossy codec plugged into the same stage is gated
-    identically.
     """
 
     def __init__(
@@ -58,12 +61,18 @@ class DecodeVerifyStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from mobray.sources.codec import resize_area
+        from mobray.sources.imagegen import REF_THUMB_SIZE
 
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()
         stored_ph = batch["phash"].to_numpy(zero_copy_only=False)
+        refs = (
+            batch["ref_thumb"].to_pylist()
+            if "ref_thumb" in batch.schema.names
+            else None
+        )
 
         n = len(blobs)
         ok = np.zeros(n, dtype=bool)
@@ -79,7 +88,12 @@ class DecodeVerifyStage:
                 continue
             ok[i] = True
             bright[i] = float(px.mean())
-            psnrs[i] = psnr(px, px)  # lossless reference: inf
+            if refs is not None and refs[i] is not None:
+                ref = np.frombuffer(refs[i], dtype=np.uint8).reshape(
+                    REF_THUMB_SIZE, REF_THUMB_SIZE, 3
+                )
+                got = resize_area(px, REF_THUMB_SIZE, REF_THUMB_SIZE)
+                psnrs[i] = psnr(got, ref)
             if self.check_phash:
                 ph_match[i] = phash64(px) == int(stored_ph[i])
             if self.extract_thumb:

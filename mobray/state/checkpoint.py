@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from mobray.pipelines.temporal import BUCKET_COL, with_buckets
+from mobray.pipelines.temporal import bucket_col_for, with_buckets
 
 _HASH_KEY = "0123456789123456"
 
@@ -127,15 +127,16 @@ def resumable_write(
     contents regardless of block layout or worker count.
     """
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    bucketed = ds if BUCKET_COL in ds.schema().names else with_buckets(ds, key, num_buckets)
+    bc = bucket_col_for(key)
+    bucketed = ds if bc in ds.schema().names else with_buckets(ds, key, num_buckets)
 
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pid = int(g[BUCKET_COL].iloc[0])
-        g = g.drop(columns=[BUCKET_COL])
+        pid = int(g[bc].iloc[0])
+        g = g.drop(columns=[bc])
         return pd.DataFrame([write_partition(g, out_dir, pid, job_id)])
 
     metrics = (
-        bucketed.groupby(BUCKET_COL)
+        bucketed.groupby(bc)
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("pid")

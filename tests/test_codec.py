@@ -133,6 +133,7 @@ class TestGenerator:
         assert t.num_rows == 6
         assert t.schema.names == [
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "event_ts", "label",
+            "ref_thumb",
         ]
         # every row's bytes decode to pixels whose phash matches the column
         for i in range(t.num_rows):

@@ -182,3 +182,56 @@ class TestEmbeddingNearDup:
         ).to_pandas()
         # smoke: runs; random gaussian embeddings have no 0.99-cosine pairs
         assert len(out) == 0 or list(out.columns) == ["a", "b", "cosine"]
+
+
+class TestHashKernels:
+    def test_mulmod61_exact(self):
+        import numpy as np
+
+        from mobray.functions.hashing import _MERSENNE, mulmod61
+
+        rng = np.random.Generator(np.random.PCG64(5))
+        a = rng.integers(0, _MERSENNE, size=500, dtype=np.uint64)
+        x = rng.integers(0, _MERSENNE, size=500, dtype=np.uint64)
+        got = mulmod61(a, x)
+        want = [(int(ai) * int(xi)) % _MERSENNE for ai, xi in zip(a, x)]
+        assert got.tolist() == want
+
+    def test_minhash_signatures_batch_matches_scalar(self):
+        import numpy as np
+
+        from mobray.functions.hashing import (
+            char_shingles,
+            minhash_params,
+            minhash_signature,
+            minhash_signatures,
+            stable_hash64,
+        )
+
+        texts = ["the quick brown fox", "", "jumps over the lazy dog", "xy"]
+        a, b = minhash_params(16)
+        all_sh, offsets = [], []
+        for t in texts:
+            offsets.append(len(all_sh))
+            all_sh.extend(char_shingles(t, 4))
+        batch = minhash_signatures(stable_hash64(all_sh), np.array(offsets), a, b)
+        for i, t in enumerate(texts):
+            sh = char_shingles(t, 4)
+            scalar = minhash_signature(
+                stable_hash64(sh) if sh else np.empty(0, np.uint64), a, b
+            )
+            assert batch[i].tolist() == scalar.tolist(), t
+
+    def test_simhash_batch_matches_scalar(self):
+        import numpy as np
+
+        from mobray.functions.hashing import simhash64, simhash64_batch, stable_hash64
+
+        texts = ["alpha beta gamma", "", "delta", "alpha alpha beta"]
+        toks, offsets = [], []
+        for t in texts:
+            offsets.append(len(toks))
+            toks.extend(t.split())
+        batch = simhash64_batch(stable_hash64(toks), np.array(offsets))
+        for i, t in enumerate(texts):
+            assert int(batch[i]) == simhash64(t.split()), t

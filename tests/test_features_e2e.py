@@ -44,6 +44,66 @@ class TestDecodeVerification:
         assert rep["n_phash_match"] == rep["n"]
         assert rep["n_psnr_ge_40"] == rep["n"]
 
+    def test_psnr_gate_catches_corruption(self):
+        """The PSNR gate compares against the generator's stored
+        reference thumb — a corrupted-but-decodable payload must FAIL it
+        (regression: the gate used to compare the decode against itself
+        and could never fail)."""
+        import pyarrow as pa
+
+        from mobray.functions.phash import phash64
+        from mobray.sources.codec import raw_encode, resize_area
+        from mobray.sources.imagegen import REF_THUMB_SIZE
+        from mobray.stages.decode import DecodeVerifyStage
+
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, (32, 32, 3), np.uint8)
+        good = raw_encode(px)
+        corrupt = bytearray(good)
+        corrupt[: len(corrupt) // 2] = bytes(len(corrupt) // 2)  # zero half
+        ref = resize_area(px, REF_THUMB_SIZE, REF_THUMB_SIZE).tobytes()
+        batch = pa.table(
+            {
+                "bytes": pa.array([good, bytes(corrupt)], pa.binary()),
+                "w": pa.array([32, 32], pa.int32()),
+                "h": pa.array([32, 32], pa.int32()),
+                "fmt": ["raw", "raw"],
+                "phash": pa.array([phash64(px)] * 2, pa.int64()),
+                "ref_thumb": pa.array([ref, ref], pa.binary()),
+            }
+        )
+        out = DecodeVerifyStage()(batch)
+        ok = out["decode_ok"].to_pylist()
+        ps = out["psnr_db"].to_pylist()
+        ph = out["phash_match"].to_pylist()
+        assert ok == [True, True]  # same length -> raw decode succeeds
+        assert ps[0] == float("inf")  # pristine lossless: exact
+        assert ps[1] < 40.0  # corrupted payload FAILS the 40 dB gate
+        assert ph[0] and not ph[1]
+
+    def test_psnr_nan_without_reference(self):
+        """No ref_thumb column -> psnr_db is NaN (gate explicitly not
+        claimed), never a fake inf."""
+        import pyarrow as pa
+
+        from mobray.functions.phash import phash64
+        from mobray.sources.codec import raw_encode
+        from mobray.stages.decode import DecodeVerifyStage
+
+        px = np.random.RandomState(3).randint(0, 256, (16, 16, 3), np.uint8)
+        batch = pa.table(
+            {
+                "bytes": pa.array([raw_encode(px)], pa.binary()),
+                "w": pa.array([16], pa.int32()),
+                "h": pa.array([16], pa.int32()),
+                "fmt": ["raw"],
+                "phash": pa.array([phash64(px)], pa.int64()),
+            }
+        )
+        out = DecodeVerifyStage()(batch)
+        assert out["decode_ok"].to_pylist() == [True]
+        assert np.isnan(out["psnr_db"].to_pylist()[0])
+
     def test_caption_exact_equality(self, ray_session, image_dir):
         """Captions must survive the storage round-trip byte-identically."""
         from mobray.sources.imagegen import gen_entity_rows, read_image_table

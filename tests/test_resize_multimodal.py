@@ -37,6 +37,28 @@ class TestResizeArea:
         assert resize_area(px, 3, 5).shape == (5, 3, 3)
         assert resize_area(px, 14, 20).shape == (20, 14, 3)
 
+    def test_upscale_values_nearest_cell(self):
+        # uniform image must stay uniform (regression: zero-width cells
+        # used to divide by zero and clip to 255)
+        px = np.full((2, 2, 3), 100, np.uint8)
+        out = resize_area(px, 4, 4)
+        assert (out == 100).all()
+        # distinct pixels: 2x upscale repeats each source pixel 2x2
+        px = np.array([[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]], np.uint8)
+        out = resize_area(px, 4, 4)
+        expect = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+        assert (out == expect).all()
+
+    def test_upscale_mixed_axis(self):
+        # upscale rows, downscale cols in one call
+        px = np.random.RandomState(3).randint(0, 256, (4, 8, 3), np.uint8)
+        out = resize_area(px, 4, 8)
+        assert out.shape == (8, 4, 3)
+        # row i of output = source row i//2 averaged over col pairs
+        for i in range(8):
+            src = px[i // 2].reshape(4, 2, 3).mean(axis=1)
+            assert np.abs(out[i].astype(float) - src).max() <= 0.5 + 1e-9
+
 
 class TestResizeStage:
     def test_resizes_batch(self, ray_session, tmp_path):

@@ -369,3 +369,66 @@ class TestAsofVariants:
             .sort_values("row")
         )
         assert np.isnan(out["attr"].iloc[0])  # same-instant row must not match
+
+
+class TestBucketKeySafety:
+    def test_prebucket_other_key_not_reused(self, ray_session):
+        """A dataset pre-bucketed on key A must be RE-bucketed when an
+        operator partitions on key B (regression: silent reuse split
+        entities across buckets)."""
+        import ray.data
+
+        from mobray.pipelines.temporal import bucket_col_for, sessionize, with_buckets
+
+        df = pd.DataFrame(
+            {
+                "a": np.repeat(np.arange(20), 5),
+                "b": np.tile(np.arange(5), 20),
+                "ts": pd.to_datetime(np.tile(np.arange(5), 20), unit="h"),
+            }
+        )
+        ds = with_buckets(ray.data.from_pandas(df), "a", num_buckets=4)
+        assert bucket_col_for("a") in ds.schema().names
+        out = sessionize(ds, "b", "ts", gap="30min", num_buckets=4).to_pandas()
+        # per-entity-b session count must match a single-node oracle
+        oracle = (
+            df.sort_values(["b", "ts"], kind="stable")
+            .groupby("b")["ts"]
+            .apply(lambda s: int((s.diff().isna() | (s.diff() > pd.Timedelta("30min"))).sum()))
+        )
+        got = out.groupby("b")["session_seq"].max()
+        assert got.sort_index().tolist() == oracle.sort_index().tolist()
+
+
+class TestTimestampUnits:
+    def test_tumbling_ns_timestamps(self, ray_session):
+        """timestamp[ns] input must yield the same windows as [us]
+        (regression: raw int64 cast made windows 1000x too small)."""
+        import ray.data
+
+        from mobray.pipelines.temporal import tumbling_window
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="7min")
+        df = pd.DataFrame({"k": np.tile([1, 2], 50), "ts": ts, "v": np.arange(100.0)})
+        assert df["ts"].dtype == "datetime64[ns]"
+        out_ns = tumbling_window(ray.data.from_pandas(df), "k", "ts", "1h", "v").to_pandas()
+        df_us = df.assign(ts=df["ts"].astype("datetime64[us]"))
+        out_us = tumbling_window(ray.data.from_pandas(df_us), "k", "ts", "1h", "v").to_pandas()
+        cols = ["k", "window_start", "n_events", "sum_value"]
+        a = out_ns[cols].sort_values(["k", "window_start"]).reset_index(drop=True)
+        b = out_us[cols].sort_values(["k", "window_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # 100 events x 7min over 2 keys -> ~12h span => 12-ish windows/key
+        assert out_ns.groupby("k")["n_events"].sum().tolist() == [50, 50]
+        assert len(out_ns) < 30  # would be ~100 with the ns bug
+
+    def test_hopping_ns_timestamps(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.temporal import hopping_window
+
+        ts = pd.date_range("2024-01-01", periods=40, freq="11min")
+        df = pd.DataFrame({"k": np.ones(40, dtype=np.int64), "ts": ts, "v": np.ones(40)})
+        out = hopping_window(ray.data.from_pandas(df), "k", "ts", "v", window="1h", hop="30min").to_pandas()
+        # every event lands in exactly 2 windows
+        assert out["n_events"].sum() == 80
