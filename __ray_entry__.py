@@ -201,13 +201,25 @@ def q_bin_transform_counts(sf_dir):
 
 
 def q_binning_bins(sf_dir):
-    """Full fitted bins table (PAVA + statistical merge — not SQL)."""
-    return _fit_lineitem_model(sf_dir).bins_df()
+    """Full fitted bins table (PAVA + statistical merge); oracle = the
+    single-node numpy core fit emitted as a VALUES literal."""
+    import numpy as np
+
+    df = _fit_lineitem_model(sf_dir).bins_df()
+    for c in ("mean", "std"):
+        df[c] = np.round(df[c], 6)
+    return df.sort_values("left").reset_index(drop=True)
 
 
 def q_binning_summary(sf_dir):
-    """Summary with WoE/IV (not SQL-expressible)."""
-    return _fit_lineitem_model(sf_dir).summary_df()
+    """Summary with WoE/IV; oracle = single-node core fit."""
+    import numpy as np
+
+    df = _fit_lineitem_model(sf_dir).summary_df()
+    for c in ("count_pct", "mean", "std", "woe", "iv"):
+        if c in df.columns:
+            df[c] = np.round(df[c], 6)
+    return df.sort_values("bucket").reset_index(drop=True)
 
 
 def q_asof_join_events(sf_dir):
@@ -566,18 +578,24 @@ def q_knn_ivf(sf_dir):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     q0 = np.array(ds.take(1)[0]["embedding"], dtype=float)
-    out = knn_ivf(ds, "embedding", "vec_id", q0[None, :], k=5, n_centroids=8, n_probe=4)
+    # n_probe=6/8: real cell pruning, yet exact top-5 on this table (the
+    # random fixture has no cluster structure, so deeper pruning trades
+    # recall — quantified by the recall@k test in test_text_and_search)
+    out = knn_ivf(ds, "embedding", "vec_id", q0[None, :], k=5, n_centroids=8, n_probe=6)
     out = out.rename(columns={"id": "vec_id"})
     return out[["vec_id"]]
 
 
 def q_minhash_dedup_docs(sf_dir):
+    """MinHash+LSH near-dup clusters; oracle = independent single-node
+    naive reimplementation of the same spec (mobray/oracle/naive.py)."""
     import ray.data
 
     from mobray.pipelines.dedup import minhash_lsh_dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7)
+    out = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7)
+    return out.astype({"doc_id": "int64", "cluster": "int64"})
 
 
 def q_simhash_pairs_docs(sf_dir):
@@ -586,43 +604,97 @@ def q_simhash_pairs_docs(sf_dir):
     from mobray.pipelines.dedup import simhash_dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", hamming_radius=3)
+    out = simhash_dedup(ds, "text", "doc_id", hamming_radius=3)
+    return out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
 
 def q_ngram_jaccard_docs(sf_dir):
-    """Exact word-3-gram Jaccard pairs within fingerprint buckets
-    (near-dup verification op; bucketing makes it non-SQL)."""
+    """Exact word-3-gram Jaccard pairs within fingerprint buckets."""
+    import numpy as np
     import ray.data
 
     from mobray.pipelines.dedup import ngram_jaccard_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.2)
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.2).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out["jaccard"] = np.round(out["jaccard"], 6)
+    return out.astype({"a": "int64", "b": "int64"})
+
+
+# embedding near-dup fixture: the base table is near-orthogonal random
+# vectors (max natural cosine ~0.51), so the query plants 20 deterministic
+# near-duplicates — vec_id < _PLANT_K re-emitted with id+1000000 and
+# +_PLANT_DELTA on coordinate 0 (cosine ~0.9987 to the base row). The SQL
+# oracle derives the identical rows from the table itself.
+_PLANT_K = 20
+_PLANT_DELTA = 0.05
+_EMB_THRESHOLD = 0.98
 
 
 def q_embedding_neardup(sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
+    with exact in-bucket verification, on base + planted vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
     from mobray.pipelines.dedup import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(
-        ds, "embedding", "vec_id", threshold=0.5, n_planes=6
+    et = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = et.to_pandas()
+    sel = sel[sel["vec_id"] < _PLANT_K].sort_values("vec_id")
+    pert = np.array(sel["embedding"].tolist(), dtype=np.float32)
+    pert[:, 0] = pert[:, 0] + np.float32(_PLANT_DELTA)
+    planted = pa.table(
+        {
+            "vec_id": pa.array((sel["vec_id"] + 1000000).to_numpy(), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in pert], et.schema.field("embedding").type
+            ),
+        }
     )
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    un = base.union(ray.data.from_arrow(planted))
+    pairs = embedding_neardup_pairs(
+        un, "embedding", "vec_id",
+        threshold=_EMB_THRESHOLD, n_planes=6, n_tables=4,
+    )
+    return pairs[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
 
 def q_quality_docs(sf_dir):
+    import numpy as np
     import ray.data
 
     from mobray.stages.text import TextAnalysisStage
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
-    return out.map_batches(
-        lambda t: t.select(["doc_id", "quality_score", "lang_pred", "fingerprint"]),
+    out = out.map_batches(
+        lambda t: t.select(["doc_id", "quality_score", "lang_pred"]),
         batch_format="pyarrow",
-    )
+    ).to_pandas()
+    out["quality_score"] = np.round(out["quality_score"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_docs(sf_dir):
+    """Winnowing document fingerprints; oracle = naive single-node
+    reimplementation (plain Python rolling hash)."""
+    import ray.data
+
+    from mobray.stages.text import TextAnalysisStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
+    out = out.map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -658,12 +730,150 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "embedding_neardup": q_embedding_neardup,
         "quality_docs": q_quality_docs,
+        "fingerprint_docs": q_fingerprint_docs,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
+
+_ORACLE_CACHE: dict = {}
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a python value (handles inf/nan doubles, strings)."""
+    import math
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        if math.isinf(v):
+            return "CAST('inf' AS DOUBLE)" if v > 0 else "CAST('-inf' AS DOUBLE)"
+        if math.isnan(v):
+            return "CAST('nan' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    return str(int(v))
+
+
+def _values_sql(df, int_cols=(), order_by=None) -> str:
+    """Literal VALUES table for a (small) expected-result DataFrame —
+    the emission format for oracles whose expected values come from an
+    independent single-node implementation (numpy binning core /
+    mobray.oracle.naive) rather than from SQL-expressible logic."""
+    cols = list(df.columns)
+    rows = []
+    for t in df.itertuples(index=False):
+        vals = []
+        for c, v in zip(cols, t):
+            if c in int_cols:
+                # explicit BIGINT: bare VALUES ints type as INT32
+                vals.append(f"CAST({int(v)} AS BIGINT)")
+            else:
+                vals.append(_sql_lit(v if not hasattr(v, "item") else v.item()))
+        rows.append("(" + ", ".join(vals) + ")")
+    body = ",\n  ".join(rows)
+    quoted = ", ".join(f'"{c}"' for c in cols)  # left/right are reserved
+    order = ""
+    if order_by:
+        order = " ORDER BY " + ", ".join(
+            f'"{c.strip()}"' for c in order_by.split(",")
+        )
+    return f"SELECT * FROM (VALUES\n  {body}\n) AS t({quoted}){order}"
+
+
+def _naive_docs(sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return docs["text"].tolist(), docs["doc_id"].tolist()
+
+
+def _minhash_oracle_sql() -> str:
+    if "minhash" not in _ORACLE_CACHE:
+        from mobray.oracle.naive import naive_minhash_clusters
+
+        texts, ids = _naive_docs(_SF01)
+        df = naive_minhash_clusters(texts, ids, threshold=0.7)
+        _ORACLE_CACHE["minhash"] = _values_sql(
+            df, int_cols=("doc_id", "cluster"), order_by="doc_id"
+        )
+    return _ORACLE_CACHE["minhash"]
+
+
+def _simhash_oracle_sql() -> str:
+    if "simhash" not in _ORACLE_CACHE:
+        from mobray.oracle.naive import naive_simhash_pairs
+
+        texts, ids = _naive_docs(_SF01)
+        df = naive_simhash_pairs(texts, ids, hamming_radius=3)
+        _ORACLE_CACHE["simhash"] = _values_sql(
+            df, int_cols=("a", "b", "hamming"), order_by="a, b"
+        )
+    return _ORACLE_CACHE["simhash"]
+
+
+def _ngram_oracle_sql() -> str:
+    if "ngram" not in _ORACLE_CACHE:
+        import numpy as np
+
+        from mobray.oracle.naive import naive_ngram_jaccard_pairs
+
+        texts, ids = _naive_docs(_SF01)
+        df = naive_ngram_jaccard_pairs(texts, ids, n=3, threshold=0.2)
+        df["jaccard"] = np.round(df["jaccard"], 6)
+        _ORACLE_CACHE["ngram"] = _values_sql(
+            df, int_cols=("a", "b"), order_by="a, b"
+        )
+    return _ORACLE_CACHE["ngram"]
+
+
+def _fingerprint_oracle_sql() -> str:
+    if "fingerprint" not in _ORACLE_CACHE:
+        import pandas as pd
+
+        from mobray.oracle.naive import _fingerprint
+
+        texts, ids = _naive_docs(_SF01)
+        df = pd.DataFrame(
+            {"doc_id": ids, "fingerprint": [_fingerprint(t) for t in texts]}
+        )
+        _ORACLE_CACHE["fingerprint"] = _values_sql(
+            df, int_cols=("doc_id", "fingerprint"), order_by="doc_id"
+        )
+    return _ORACLE_CACHE["fingerprint"]
+
+
+def _binning_bins_oracle_sql() -> str:
+    """Expected bins table from the SINGLE-NODE numpy core fit — the
+    independent path the distributed fit must reproduce."""
+    if "bins" not in _ORACLE_CACHE:
+        import numpy as np
+
+        df = _core_lineitem_model(_SF01).bins_df()
+        for c in ("mean", "std"):
+            df[c] = np.round(df[c], 6)
+        _ORACLE_CACHE["bins"] = _values_sql(df, int_cols=("n",), order_by="left")
+    return _ORACLE_CACHE["bins"]
+
+
+def _binning_summary_oracle_sql() -> str:
+    if "summary" not in _ORACLE_CACHE:
+        import numpy as np
+
+        df = _core_lineitem_model(_SF01).summary_df()
+        for c in ("count_pct", "mean", "std", "woe", "iv"):
+            if c in df.columns:
+                df[c] = np.round(df[c], 6)
+        _ORACLE_CACHE["summary"] = _values_sql(
+            df, int_cols=("count",), order_by="bucket"
+        )
+    return _ORACLE_CACHE["summary"]
+
 
 def _transform_case_sql() -> str:
     """CASE expression reproducing the fitted bin labels; edges come from
@@ -780,7 +990,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "group_centroids": """
-            SELECT label, count(*) AS n,
+            SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
                    round(avg(embedding[1]), 3) AS c0,
                    round(avg(embedding[2]), 3) AS c1,
                    round(avg(embedding[3]), 3) AS c2,
@@ -829,6 +1039,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
             LIMIT 5
         """,
+        "knn_ivf": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
+            LIMIT 5
+        """,
+        "quality_docs": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|and|of|to|a|in|is|that|it|for|on|with|as|was|at)\b')) AS st_en,
+                     len(regexp_extract_all(lower(text),
+                         '\b(der|die|das|und|ist|von|zu|mit|den|nicht|ein|eine|auf|für)\b')) AS st_de,
+                     len(regexp_extract_all(lower(text),
+                         '\b(el|la|de|que|y|en|un|una|es|por|con|para|los|las)\b')) AS st_es,
+                     len(regexp_extract_all(lower(text),
+                         '\b(le|la|les|de|des|et|est|en|un|une|du|que|pour|dans)\b')) AS st_fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_tokens / 50.0, 1.0) * 0.4
+                     + greatest(least(1.0 - 4.0 * (n_punct / greatest(n_chars, 1)::DOUBLE), 1.0), 0.0) * 0.2
+                     + greatest(least(1.0 - 4.0 * (n_digit / greatest(n_chars, 1)::DOUBLE), 1.0), 0.0) * 0.2
+                     + least((st_en / greatest(n_tokens, 1)::DOUBLE) * 5.0, 1.0) * 0.2
+                   , 6) AS quality_score,
+                   CASE WHEN greatest(st_en, st_de, st_es, st_fr) <= 0 THEN 'und'
+                        WHEN st_en >= st_de AND st_en >= st_es AND st_en >= st_fr THEN 'en'
+                        WHEN st_de >= st_es AND st_de >= st_fr THEN 'de'
+                        WHEN st_es >= st_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM m ORDER BY doc_id
+        """,
+        "embedding_neardup": f"""
+            WITH planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_prepend(embedding[1] + {_PLANT_DELTA},
+                                  embedding[2:]) AS embedding
+              FROM embeddings WHERE vec_id < {_PLANT_K}
+            ), all_vecs AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM planted
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= {_EMB_THRESHOLD}
+            ORDER BY 1, 2
+        """,
+        "minhash_dedup_docs": _minhash_oracle_sql(),
+        "simhash_pairs_docs": _simhash_oracle_sql(),
+        "ngram_jaccard_docs": _ngram_oracle_sql(),
+        "fingerprint_docs": _fingerprint_oracle_sql(),
+        "binning_bins": _binning_bins_oracle_sql(),
+        "binning_summary": _binning_summary_oracle_sql(),
     }
 
 

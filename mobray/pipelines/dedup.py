@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mobray.functions.phash import hamming64
 from mobray.functions.hashing import (
     band_keys_matrix,
     char_shingles,
@@ -201,8 +202,6 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        from mobray.functions.phash import hamming64
-
         docs = g["doc"].to_numpy()
         sigs = g["sig"].to_numpy()
         pairs = []
@@ -223,6 +222,8 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
+    if len(out) == 0:
+        return pd.DataFrame(columns=["a", "b", "hamming"])
     return (
         out.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])
@@ -308,8 +309,6 @@ def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        from mobray.functions.phash import hamming64
-
         docs = g["doc"].to_numpy()
         sigs = g["sig"].to_numpy()
         pairs = []
@@ -330,6 +329,8 @@ def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
+    if len(out) == 0:
+        return pd.DataFrame(columns=["a", "b", "hamming"])
     return (
         out.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])
@@ -343,37 +344,50 @@ def embedding_neardup_pairs(
     id_col: str,
     *,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 11,
     dim: Optional[int] = None,
 ):
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH.
+    """Embedding-cosine near-dup pairs via multi-table random-hyperplane
+    LSH, returned as a sorted pandas DataFrame (a, b, cosine).
 
-    Sign-pattern of ``n_planes`` random projections buckets the vectors
-    (cos-similar vectors collide with high probability); exact cosine is
-    verified within each bucket by one matmul. High thresholds keep
-    buckets honest; for recall-critical jobs run multiple plane seeds
-    and union the pairs."""
+    Each of ``n_tables`` independent tables buckets vectors by the
+    sign-pattern of ``n_planes`` random projections; exact cosine is
+    verified within each bucket by one matmul, and pair sets are
+    unioned across tables. Recall for a pair at cosine c is
+    1 - (1 - (1 - acos(c)/pi)^n_planes)^n_tables — multiple small
+    tables beat one large table because a single flipped sign only
+    kills one table. Rows explode x n_tables in the shuffle, but each
+    row is just (bucket, id, vector)."""
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.normal(size=(dim, n_planes))
+    # (n_tables, dim, n_planes), all drawn from one seeded stream
+    planes = rng.normal(size=(n_tables, dim, n_planes))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
-        signs = (emb @ planes) > 0
-        key = np.packbits(signs, axis=1, bitorder="little")[:, :8]
-        pad = np.zeros((len(key), 8), dtype=np.uint8)
-        pad[:, : key.shape[1]] = key
-        bucket = pad.view(np.uint64).ravel().astype(np.int64)
-        return pa.table(
+        n = len(emb)
+        keys = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (emb @ planes[t]) > 0
+            key = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            keys[t] = key + (t << np.int64(48))  # disjoint per-table key space
+        ids = batch[id_col]
+        out = pa.table(
             {
-                "bucket": pa.array(bucket, pa.int64()),
-                "doc": batch[id_col],
-                "emb": batch[emb_col],
+                "bucket": pa.array(keys.ravel(), pa.int64()),
+                "doc": pa.concat_arrays(
+                    [ids.combine_chunks()] * n_tables
+                ),
+                "emb": pa.concat_arrays(
+                    [batch[emb_col].combine_chunks()] * n_tables
+                ),
             }
         )
+        return out
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -393,8 +407,16 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
         return pd.DataFrame(pairs, columns=["a", "b", "cosine"])
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
     )

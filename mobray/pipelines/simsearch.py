@@ -64,8 +64,17 @@ def train_centroids(
     ds, emb_col: str, n_centroids: int = 16, sample_rows: int = 2048, iters: int = 8,
     seed: int = 3,
 ) -> np.ndarray:
-    """k-means-lite coarse quantizer trained on a driver-side sample."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """k-means-lite coarse quantizer trained on a driver-side RANDOM
+    sample (``ds.random_sample``, seeded — a ``limit()`` would read only
+    the first blocks and bias the centroids toward whatever entities
+    sort first in storage)."""
+    n = ds.count()
+    if n <= sample_rows:
+        sample = ds.to_pandas()
+    else:
+        # oversample slightly so the post-limit keeps ~sample_rows
+        frac = min(1.0, 1.5 * sample_rows / n)
+        sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
     x = _normalize(np.array(sample[emb_col].tolist(), dtype=np.float64))
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

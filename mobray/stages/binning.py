@@ -24,6 +24,8 @@ from typing import Callable, Iterable, Optional
 import numpy as np
 import pyarrow as pa
 
+from mobray.core.binner import transform_values
+
 PARTIAL_SCHEMA = pa.schema(
     [
         ("tag", pa.string()),
@@ -165,8 +167,6 @@ def make_multi_transform_stage(
     """One stage appending several assignment columns ({out_col: assign})
     from a single values extraction — fewer operators than chaining
     make_transform_stage per assign."""
-    from mobray.core.binner import transform_values
-
     def score(batch: pa.Table) -> pa.Table:
         vals = _to_float_np(batch[x])
         for out_col, assign in assigns.items():
@@ -191,8 +191,6 @@ def make_transform_stage(
     broadcast BinningModel (vs the reference's per-value Series.apply,
     MOBPY/binning/mob.py:468). The model is a few-KB value object captured
     in the task closure — serialized once per task, never per batch."""
-    from mobray.core.binner import transform_values
-
     name = out_col or f"{x}_{assign}"
 
     def score(batch: pa.Table) -> pa.Table:

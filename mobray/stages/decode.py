@@ -23,7 +23,8 @@ import numpy as np
 import pyarrow as pa
 
 from mobray.functions.phash import phash64, popcount64
-from mobray.sources.codec import decode_image, psnr
+from mobray.sources.codec import decode_image, encode_image, psnr, resize_area
+from mobray.sources.imagegen import REF_THUMB_SIZE
 
 
 def decode_batch_size_for(mean_image_bytes: float, budget_bytes: int = 64 << 20) -> int:
@@ -60,9 +61,6 @@ class DecodeVerifyStage:
         self.thumb_size = thumb_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from mobray.sources.codec import resize_area
-        from mobray.sources.imagegen import REF_THUMB_SIZE
-
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
@@ -116,16 +114,12 @@ class ImageResizeStage:
     (``decode_batch_size_for``)."""
 
     def __init__(self, out_w: int = 32, out_h: int = 32, out_fmt: str = "png"):
-        from mobray.sources.codec import resize_area
-
         self.out_w = out_w
         self.out_h = out_h
         self.out_fmt = out_fmt
         self._resize = resize_area
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from mobray.sources.codec import encode_image
-
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)

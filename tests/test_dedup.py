@@ -166,7 +166,6 @@ class TestEmbeddingNearDup:
                 threshold=0.95,
                 n_planes=8,
             )
-            .to_pandas()
         )
         pairs = set(zip(out["a"], out["b"]))
         assert (3, 7) in pairs
@@ -179,7 +178,7 @@ class TestEmbeddingNearDup:
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         out = embedding_neardup_pairs(
             ds, "embedding", "vec_id", threshold=0.99, n_planes=6
-        ).to_pandas()
+        )
         # smoke: runs; random gaussian embeddings have no 0.99-cosine pairs
         assert len(out) == 0 or list(out.columns) == ["a", "b", "cosine"]
 
@@ -235,3 +234,34 @@ class TestHashKernels:
         batch = simhash64_batch(stable_hash64(toks), np.array(offsets))
         for i, t in enumerate(texts):
             assert int(batch[i]) == simhash64(t.split()), t
+
+
+class TestEmbeddingNeardupRecall:
+    def test_planted_pairs_all_found(self, ray_session):
+        """Multi-table hyperplane LSH + exact verify must find every
+        planted near-dup pair (recall 1 vs brute force on this fixture)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from mobray.pipelines.dedup import embedding_neardup_pairs
+
+        rng = np.random.RandomState(21)
+        base = rng.normal(size=(200, 32))
+        planted = base[:30] + rng.normal(scale=0.02, size=(30, 32))
+        emb = np.concatenate([base, planted])
+        ids = list(range(200)) + [1000 + i for i in range(30)]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in emb]})
+        )
+        pairs = embedding_neardup_pairs(
+            ds, "embedding", "vec_id", threshold=0.98, n_planes=6, n_tables=4
+        )
+        # brute-force oracle
+        nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = nrm @ nrm.T
+        ii, jj = np.where(np.triu(sims, 1) >= 0.98)
+        want = sorted((min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj))
+        got = sorted(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+        assert got == want
+        assert len(want) >= 30  # every planted pair is a true near-dup

@@ -139,3 +139,52 @@ class TestKnn:
         )
         assert cent.shape == (8, 32)
         np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+
+
+class TestIvfRecall:
+    def test_recall_at_10_vs_bruteforce(self, ray_session):
+        """IVF with n_probe=half the cells must keep recall@10 >= 0.75 on
+        unstructured vectors (it is exact when clusters exist; this
+        fixture is the adversarial no-structure case)."""
+        import numpy as np
+        import ray.data
+
+        from mobray.pipelines.simsearch import knn_bruteforce, knn_ivf
+
+        rng = np.random.RandomState(7)
+        emb = rng.normal(size=(400, 32))
+        df = {"vec_id": list(range(400)), "embedding": [r.tolist() for r in emb]}
+        import pandas as pd
+
+        ds = ray.data.from_pandas(pd.DataFrame(df))
+        qs = emb[:10]
+        bf = knn_bruteforce(ds, "embedding", "vec_id", qs, k=10)
+        iv = knn_ivf(ds, "embedding", "vec_id", qs, k=10, n_centroids=8, n_probe=4)
+        recs = []
+        for qi in range(10):
+            b = set(bf[bf.query_id == qi]["id"])
+            v = set(iv[iv.query_id == qi]["id"])
+            recs.append(len(b & v) / len(b))
+        assert np.mean(recs) >= 0.75
+
+    def test_ivf_exact_with_cluster_structure(self, ray_session):
+        """With genuinely clustered vectors IVF at n_probe=2 is exact for
+        in-cluster queries (the 100-TB scale path: probe a few cells)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from mobray.pipelines.simsearch import knn_bruteforce, knn_ivf
+
+        rng = np.random.RandomState(11)
+        centers = rng.normal(size=(5, 32)) * 10
+        emb = np.concatenate([c + rng.normal(size=(80, 32)) for c in centers])
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": list(range(400)), "embedding": [r.tolist() for r in emb]}
+            )
+        )
+        qs = emb[[0, 100, 200, 300]]
+        bf = knn_bruteforce(ds, "embedding", "vec_id", qs, k=5)
+        iv = knn_ivf(ds, "embedding", "vec_id", qs, k=5, n_centroids=5, n_probe=2)
+        assert iv["id"].tolist() == bf["id"].tolist()
