@@ -44,11 +44,13 @@ def exact_dedup(ds, col: str, id_col: str, keep: str = "min"):
         key = stable_hash64(batch[col].to_pylist()).astype(np.int64)
         return batch.append_column("__key", pa.array(key, pa.int64()))
 
-    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
+    def keep_one(g: pd.DataFrame):
         g = g.sort_values(id_col, ascending=(keep == "min"), kind="stable")
         out = g.head(1).copy()
         out["n_dups"] = len(g)
-        return out.drop(columns="__key")
+        # Arrow out: empty pandas blocks would bypass downstream
+        # map_batches conversion (see _per_bucket)
+        return pa.Table.from_pandas(out.drop(columns="__key"), preserve_index=False)
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
@@ -82,17 +84,25 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    cluster_backend: str = "driver",
 ):
     """MinHash + LSH near-dup clustering.
 
     shingle -> minhash signature (per batch, vectorized) -> explode to
     (band_key, id, signature) rows -> groupby(band_key) -> candidate
-    pairs whose signature-estimated Jaccard >= threshold -> driver-side
-    union-find over the (sparse) pair list.
+    pairs whose signature-estimated Jaccard >= threshold -> union-find
+    over the pair list.
 
-    Returns a pandas DataFrame (id, cluster) for ids that belong to a
-    near-dup cluster; singletons are omitted. Only signatures (8 bytes x
-    num_perm) travel through the shuffle — never the documents.
+    ``cluster_backend``: 'driver' (default) collects the pair list and
+    runs union-find on the driver — right while pairs are sparse;
+    'distributed' keeps the pairs in a Dataset and runs
+    ``connected_components_distributed`` (min-label propagation) — the
+    100-TB path when the pair list itself is too big for one machine,
+    returning a Dataset (doc, cluster) instead of a DataFrame.
+
+    Returns (id, cluster) for ids that belong to a near-dup cluster;
+    singletons are omitted. Only signatures (8 bytes x num_perm) travel
+    through the shuffle — never the documents.
     """
     a, b = minhash_params(num_perm)
 
@@ -125,9 +135,12 @@ def minhash_lsh_dedup(
         )
 
     def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
         if len(g) < 2:
-            return empty
+            return pa.Table.from_pandas(empty, preserve_index=False)
         docs = g["doc"].to_numpy()
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
         m = len(docs)
@@ -146,15 +159,30 @@ def minhash_lsh_dedup(
                 lo, hi = sorted((docs[i], docs[j]))
                 pairs.append((lo, hi, float(est[i_off, j])))
         if not pairs:
-            return empty
-        return pd.DataFrame(pairs, columns=["a", "b", "est_jaccard"])
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        return pa.Table.from_pandas(
+            pd.DataFrame(pairs, columns=["a", "b", "est_jaccard"]),
+            preserve_index=False,
+        )
 
-    pairs_df = (
+    pairs_ds = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(candidate_pairs, batch_format="pandas")
-        .to_pandas()
     )
+    if cluster_backend == "distributed":
+        labels = connected_components_distributed(pairs_ds, "a", "b")
+
+        def drop_roots(t: pa.Table) -> pa.Table:
+            # match the driver union-find convention: the component's
+            # minimum id is the KEPT representative, not a duplicate row
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.not_equal(t["node"], t["cluster"]))
+            return t.rename_columns([id_col, "cluster"])
+
+        return labels.map_batches(drop_roots, batch_format="pyarrow")
+    pairs_df = pairs_ds.to_pandas()
     if len(pairs_df) == 0:
         return pd.DataFrame({id_col: [], "cluster": []})
     pairs_df = pairs_df.drop_duplicates(["a", "b"])
@@ -420,3 +448,126 @@ def embedding_neardup_pairs(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+def connected_components_distributed(
+    pairs_ds,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    num_buckets: Optional[int] = None,
+    max_iters: int = 64,
+):
+    """Distributed connected components over an edge Dataset via
+    min-label propagation — the scale path for near-dup cluster merging
+    when the pair list no longer fits on the driver (the driver-side
+    union-find in minhash_lsh_dedup assumes sparse pairs).
+
+    Each iteration: (1) propagate neighbour labels along edges and (2)
+    pointer-double (label(label(node))) — both are bucketed hash_join
+    exchanges — then take the per-node min. Pointer doubling gives
+    O(log diameter) rounds (a pure neighbour walk is O(diameter), which
+    bites on chain-shaped components); a stable-hash checksum of the
+    label table detects the fixpoint. Returns a Dataset (node, cluster)
+    where cluster = the component's minimum node id.
+
+    PARTITIONING ASSUMPTION: inherited from hash_join (equal node ids
+    co-locate); label state lives in the Dataset, never on the driver.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from mobray.pipelines.relational import hash_join
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[a_col]
+        b = batch[b_col]
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "peer": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    # initial label = own id
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["node"], "cluster": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("cluster", alias_name="cluster"))
+        .materialize()
+    )
+
+    def checksum(lbl) -> int:
+        # order-insensitive fingerprint of the label table: sum of stable
+        # per-row hashes, computed as a per-batch partial then a tiny sum
+        def part(t: pa.Table) -> pa.Table:
+            h = stable_hash64(
+                [f"{n}:{c}" for n, c in zip(t["node"].to_pylist(),
+                                            t["cluster"].to_pylist())]
+            )
+            # 32-bit per-batch partials so the reduce-side sum stays
+            # far inside int64 (a 63-bit partial overflowed the reduce)
+            return pa.table({"s": [int(h.sum()) & 0xFFFFFFFF]})
+
+        # final mod 2^32 makes the checksum PARTITION-invariant:
+        # sum(partial mod M) ≡ sum(partials) (mod M), but the raw sum
+        # differs by multiples of M depending on block boundaries — an
+        # unreduced compare saw identical label tables as "changed" and
+        # looped to max_iters
+
+        return int(lbl.map_batches(part, batch_format="pyarrow").sum("s") or 0) % 0x100000000
+
+    # edges as "node takes peer's label" relations, keyed by peer
+    nb = num_buckets if num_buckets is not None else 32
+    edge_rel = edges.map_batches(
+        lambda t: pa.table({"dst": t["node"], "node": t["peer"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        # one relation carries BOTH propagation rules, keyed on "node":
+        #   neighbour rule: dst takes label(peer)        (from edges)
+        #   pointer jump:   dst takes label(label(dst))  (from labels)
+        # so a single hash_join against the label table per superstep —
+        # each iteration is one materialization barrier, Pregel-style
+        # (a fully lazy nested-join graph was pathological to schedule).
+        jump_rel = labels.map_batches(
+            lambda t: pa.table({"dst": t["node"], "node": t["cluster"]}),
+            batch_format="pyarrow",
+        )
+        cand = hash_join(
+            edge_rel.union(jump_rel),
+            labels,
+            on="node",
+            right_cols=["cluster"],
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "cluster": t["cluster"]}),
+            batch_format="pyarrow",
+        ).materialize()  # barrier: a lazy join nested under the next
+        # aggregate makes one plan with stacked all-to-alls, which Ray's
+        # streaming executor schedules pathologically
+        labels = (
+            labels.union(cand)
+            # bound the partition count: aggregate emits one block per
+            # input partition, so without this the union compounds
+            # blocks every superstep and the shuffle goes quadratic
+            .repartition(nb)
+            .groupby("node")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from mobray.pipelines.temporal import (
     _arrow_types,
+    _resolve_buckets,
     _hash_bucket,
     _per_bucket,
     bucket_col_for,
@@ -41,7 +42,7 @@ def hash_join(
     how: str = "inner",
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
     """Distributed equi-join of two Datasets on ``on``.
 
@@ -59,6 +60,7 @@ def hash_join(
 
     right_types = _arrow_types(right.schema())
     left_types = _arrow_types(left.schema())
+    num_buckets = _resolve_buckets(left, num_buckets)
     bc = bucket_col_for(on)
 
     def pad_left(batch: pa.Table) -> pa.Table:
@@ -109,12 +111,13 @@ def hash_join(
     return _per_bucket(both, on, num_buckets, fn)
 
 
-def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: int = 64):
+def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: Optional[int] = None):
     """Semi (rows of left with a match in right) / anti join via the same
     bucketed exchange, shipping ONLY the right side's key column. For a
     small right side prefer a broadcast key-set filter instead."""
     left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     left_types = _arrow_types(left.schema())
+    num_buckets = _resolve_buckets(left, num_buckets)
     bc = bucket_col_for(on)
 
     def pad_left(batch: pa.Table) -> pa.Table:

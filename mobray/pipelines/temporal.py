@@ -98,6 +98,42 @@ def restore_pad_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
     return df
 
 
+DEFAULT_BUCKET_FLOOR = 64
+TARGET_BUCKET_BYTES = 128 << 20  # ~128 MB of input per bucket
+
+
+def auto_num_buckets(
+    ds,
+    floor: int = DEFAULT_BUCKET_FLOOR,
+    target_bytes: int = TARGET_BUCKET_BYTES,
+) -> int:
+    """Bucket count sized from the INPUT bytes so per-bucket pandas
+    frames stay ~target_bytes at any scale (a fixed bucket count makes
+    bucket size grow linearly with input — at 100x data the map_groups
+    frame would be 100x too big). Uses on-disk file sizes (metadata
+    only, never triggers execution); in-memory datasets without lineage
+    files fall back to ``floor``."""
+    import math
+    import os
+
+    size = None
+    try:
+        files = ds.input_files()
+        if files:
+            paths = [f[len("local://"):] if f.startswith("local://") else f
+                     for f in files]
+            size = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    except Exception:
+        size = None
+    if not size:
+        return floor
+    return max(floor, math.ceil(size / target_bytes))
+
+
+def _resolve_buckets(ds, num_buckets) -> int:
+    return auto_num_buckets(ds) if num_buckets is None else num_buckets
+
+
 def with_buckets(ds, key: str, num_buckets: int = 64):
     """Append a stable hash-bucket column for the entity key (named
     ``__bucket__{key}`` so reuse is key-safe)."""
@@ -112,16 +148,23 @@ def with_buckets(ds, key: str, num_buckets: int = 64):
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def _per_bucket(ds, key: str, num_buckets: int, fn):
+def _per_bucket(ds, key: str, num_buckets, fn):
     """bucket -> groupby -> vectorized pandas fn per bucket, dropping the
     bucket column on the way out. A pre-existing bucket column is reused
-    ONLY when it was computed for the same key (name-encoded)."""
+    ONLY when it was computed for the same key (name-encoded).
+    ``num_buckets=None`` sizes the fan-out from the input bytes."""
+    num_buckets = _resolve_buckets(ds, num_buckets)
     bc = bucket_col_for(key)
     bucketed = ds if bc in ds.schema().names else with_buckets(ds, key, num_buckets)
 
-    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
-        out = fn(g)
-        return out.drop(columns=[bc], errors="ignore")
+    def wrapped(g: pd.DataFrame):
+        out = fn(g).drop(columns=[bc], errors="ignore")
+        # emit Arrow, not pandas: Ray passes EMPTY blocks through
+        # downstream map_batches without invoking the UDF, so a pandas
+        # block from an empty bucket would survive into unions with
+        # arrow datasets (block-type mismatch) and print schema-less
+        # "new schema:" warnings
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed.groupby(bc).map_groups(wrapped, batch_format="pandas")
 
@@ -133,7 +176,7 @@ def lag_lead(
     cols: Sequence[str],
     lags: Sequence[int] = (1,),
     leads: Sequence[int] = (),
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
     """Per-entity LAG/LEAD columns (``{col}_lag{k}`` / ``{col}_lead{k}``),
     ordered by ts within entity. SQL-equivalent:
@@ -157,7 +200,7 @@ def backfill(
     key: str,
     ts: str,
     cols: Sequence[str],
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     out_suffix: str = "_filled",
 ):
     """Forward-fill nulls per entity using only values at earlier (or the
@@ -180,7 +223,7 @@ def sessionize(
     key: str,
     ts: str,
     gap,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     session_col: str = "session_seq",
 ):
     """Gap-based session ids per entity: a new session starts at the first
@@ -246,13 +289,14 @@ def asof_join_prepadded(
     direction: str = "backward",
     tolerance=None,
     allow_exact_matches: bool = True,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     post_fn=None,
 ):
     """As-of join where the left side is ALREADY tagged/padded/bucketed
     (via make_pad_left_fn, possibly fused into an upstream actor stage).
     See asof_join for semantics."""
 
+    num_buckets = _resolve_buckets(left_padded, num_buckets)
     bc = bucket_col_for(key)
 
     def pad_right(batch: pa.Table) -> pa.Table:
@@ -314,7 +358,7 @@ def asof_join(
     tolerance=None,
     allow_exact_matches: bool = True,
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     post_fn=None,
 ):
     """Distributed sorted-merge as-of join (point-in-time lookup).
@@ -344,6 +388,7 @@ def asof_join(
 
     right_types = _arrow_types(right.schema())
     left_types = _arrow_types(left.schema())
+    num_buckets = _resolve_buckets(left, num_buckets)
 
     pad_left = make_pad_left_fn(
         left_names, key, right_types, rcols, out_rcols, num_buckets
@@ -480,7 +525,7 @@ def rolling_window(
     ts: str,
     value_col: str,
     window_rows: int = 4,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
     """Per-entity trailing rolling aggregates over the previous
     ``window_rows`` rows (inclusive of current): mean/min/max/count.
@@ -509,7 +554,7 @@ def topk_per_key(
     value_col: str,
     k: int = 3,
     descending: bool = True,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
     """Top-k rows per entity by ``value_col`` with a rank column.
     SQL-equivalent: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY v
@@ -531,7 +576,7 @@ def session_stats(
     ts: str,
     value_col: str,
     gap,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
     """Session-level aggregates: one row per (entity, session) with
     event count, duration (seconds), sum/mean of ``value_col``, start
@@ -569,7 +614,7 @@ def tumbling_window(
     ts: str,
     window: str,
     value_col: str,
-    num_buckets: int = 64,  # unused; kept for signature symmetry
+    num_buckets: Optional[int] = None,  # unused; kept for signature symmetry
 ):
     """Tumbling-window aggregate per (entity, window): count/sum/min/max/
     mean of ``value_col`` over fixed windows of ``window`` (e.g. '1h').

@@ -115,7 +115,7 @@ def resumable_write(
     ds,
     out_dir: str,
     key: str,
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
     job_id: str = "job",
 ) -> pd.DataFrame:
     """Write ``ds`` hash-partitioned by ``key`` with per-partition
@@ -127,6 +127,10 @@ def resumable_write(
     contents regardless of block layout or worker count.
     """
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    if num_buckets is None:
+        from mobray.pipelines.temporal import auto_num_buckets
+
+        num_buckets = auto_num_buckets(ds, floor=32)
     bc = bucket_col_for(key)
     bucketed = ds if bc in ds.schema().names else with_buckets(ds, key, num_buckets)
 

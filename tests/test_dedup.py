@@ -265,3 +265,108 @@ class TestEmbeddingNeardupRecall:
         got = sorted(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
         assert got == want
         assert len(want) >= 30  # every planted pair is a true near-dup
+
+
+class TestDistributedCC:
+    def test_matches_driver_union_find(self, ray_session):
+        """Min-label propagation must produce the same components as the
+        driver union-find on a random sparse graph."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from mobray.pipelines.dedup import (
+            _union_find,
+            connected_components_distributed,
+        )
+
+        rng = np.random.RandomState(13)
+        edges = [
+            tuple(sorted(p))
+            for p in rng.randint(0, 60, size=(40, 2))
+            if p[0] != p[1]
+        ]
+        pairs = pd.DataFrame(edges, columns=["a", "b"]).drop_duplicates()
+        ds = ray.data.from_pandas(pairs).repartition(4)
+        got = (
+            connected_components_distributed(ds, "a", "b", num_buckets=8)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = _union_find(list(zip(pairs["a"], pairs["b"])))
+        # CC also labels each component's root (cluster = itself), which
+        # the driver union-find map omits; add the roots for comparison
+        all_nodes = set(pairs["a"]) | set(pairs["b"])
+        for n_ in all_nodes:
+            want.setdefault(n_, n_)
+        want_df = pd.DataFrame(
+            sorted(want.items()), columns=["node", "cluster"]
+        )
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want_df.astype("int64")
+        )
+
+    def test_long_chain(self, ray_session):
+        """A path graph (worst-case diameter) still converges to one
+        component labelled by the minimum node."""
+        import pandas as pd
+        import ray.data
+
+        from mobray.pipelines.dedup import connected_components_distributed
+
+        pairs = pd.DataFrame({"a": list(range(0, 9)), "b": list(range(1, 10))})
+        got = connected_components_distributed(
+            ray.data.from_pandas(pairs), "a", "b", num_buckets=8
+        ).to_pandas()
+        assert sorted(got["node"]) == list(range(10))
+        assert set(got["cluster"]) == {0}
+
+    def test_minhash_distributed_backend(self, ray_session, sf_dir):
+        import ray.data
+
+        from mobray.pipelines.dedup import minhash_lsh_dedup
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        drv = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7)
+        dist = (
+            minhash_lsh_dedup(
+                ds, "text", "doc_id", threshold=0.7,
+                cluster_backend="distributed",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert drv.reset_index(drop=True).astype("int64").equals(
+            dist.astype("int64")
+        )
+
+
+class TestAutoBuckets:
+    def test_scales_with_input_bytes(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import ray.data
+
+        from mobray.pipelines.temporal import auto_num_buckets
+
+        rng = np.random.RandomState(0)
+        small = pd.DataFrame({"x": np.arange(1000), "y": rng.rand(1000)})
+        # genuinely random rows: repeated data would compress away the
+        # size difference this test is about
+        big = pd.DataFrame({"x": np.arange(40000), "y": rng.rand(40000)})
+        pq.write_table(pa.Table.from_pandas(small), str(tmp_path / "small.parquet"))
+        pq.write_table(pa.Table.from_pandas(big), str(tmp_path / "big.parquet"))
+        ds_s = ray.data.read_parquet(str(tmp_path / "small.parquet"))
+        ds_b = ray.data.read_parquet(str(tmp_path / "big.parquet"))
+        n_s = auto_num_buckets(ds_s, floor=4, target_bytes=8_000)
+        n_b = auto_num_buckets(ds_b, floor=4, target_bytes=8_000)
+        assert n_b > n_s  # proportionally more buckets for more bytes
+        assert n_b >= 20
+        # floor respected for in-memory datasets (no input files)
+        assert auto_num_buckets(ray.data.from_pandas(small), floor=7) == 7
