@@ -550,6 +550,10 @@ def connected_components_distributed(
             on="node",
             right_cols=["cluster"],
             num_buckets=num_buckets,
+            # padded engine: the native join allocates an aggregator
+            # actor pool per call, which thrashes inside an iterative
+            # superstep loop (and label tables are narrow anyway)
+            engine="padded",
         ).map_batches(
             lambda t: pa.table({"node": t["dst"], "cluster": t["cluster"]}),
             batch_format="pyarrow",

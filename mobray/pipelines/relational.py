@@ -43,15 +43,37 @@ def hash_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_r",
     num_buckets: Optional[int] = None,
+    engine: str = "native",
 ):
     """Distributed equi-join of two Datasets on ``on``.
 
     ``how``: 'inner' or 'left'. ``right_cols`` limits the right-side
     payload (default: all non-key columns). SQL-equivalent:
     ``SELECT ... FROM left [INNER|LEFT] JOIN right USING (on)``.
+
+    ``engine='native'`` (default) uses Ray Data's two-input hash join
+    (``Dataset.join``) — a real co-partitioned exchange where each side
+    ships only its own columns. ``engine='padded'`` is the portable
+    union-of-padded-schemas fallback; it moves a null-padded copy of the
+    left schema with every right row, which inflates the exchange when
+    the left table is wide (kept for Ray builds without Dataset.join and
+    as the reference implementation for tests).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    if engine == "native" and hasattr(left, "join"):
+        right_names = [c for c in right.schema().names if not is_bucket_col(c)]
+        rcols = [c for c in (right_cols or right_names) if c != on]
+        rsel = right.select_columns([on] + rcols)
+        nb = _resolve_buckets(left, num_buckets)
+        return left.join(
+            rsel,
+            join_type="inner" if how == "inner" else "left_outer",
+            num_partitions=nb,
+            on=(on,),
+            right_suffix=suffix,
+        )
 
     left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     right_names = [c for c in right.schema().names if not is_bucket_col(c)]
@@ -111,10 +133,28 @@ def hash_join(
     return _per_bucket(both, on, num_buckets, fn)
 
 
-def semi_join(left, right, *, on: str, anti: bool = False, num_buckets: Optional[int] = None):
-    """Semi (rows of left with a match in right) / anti join via the same
-    bucketed exchange, shipping ONLY the right side's key column. For a
-    small right side prefer a broadcast key-set filter instead."""
+def semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    anti: bool = False,
+    num_buckets: Optional[int] = None,
+    engine: str = "native",
+):
+    """Semi (rows of left with a match in right) / anti join shipping
+    ONLY the right side's key column. ``engine='native'`` uses Ray
+    Data's left_semi/left_anti join; ``'padded'`` is the portable
+    union-exchange fallback. For a small right side prefer a broadcast
+    key-set filter instead."""
+    if engine == "native" and hasattr(left, "join"):
+        nb = _resolve_buckets(left, num_buckets)
+        return left.join(
+            right.select_columns([on]),
+            join_type="left_anti" if anti else "left_semi",
+            num_partitions=nb,
+            on=(on,),
+        )
     left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     left_types = _arrow_types(left.schema())
     num_buckets = _resolve_buckets(left, num_buckets)
