@@ -203,6 +203,16 @@ def generate_image_table(
         with open(done_marker) as f:
             if f.read().strip() == marker_text:
                 return out_dir
+    # regenerating: clear any existing shards first — a layout change
+    # (different shard count/schema) must not leave stale files behind
+    # (a stale v1 shard next to v2 shards = duplicated rows + mixed
+    # schemas, which silently corrupts every consumer)
+    import shutil
+
+    for d in (img_dir, attr_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if os.path.exists(done_marker):
+        os.remove(done_marker)
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(attr_dir, exist_ok=True)
 

@@ -160,3 +160,29 @@ class TestGenerator:
         lo = y[pop < 30].mean() if (pop < 30).any() else 0.0
         hi = y[pop > 34].mean() if (pop > 34).any() else 1.0
         assert hi > lo
+
+
+class TestGeneratorRegen:
+    def test_regen_clears_stale_shards(self, tmp_path):
+        """A layout change between generations must not leave stale shard
+        files behind (regression: v1 shards without ref_thumb survived a
+        v2 regen and doubled+corrupted the table)."""
+        import os
+
+        from mobray.sources.imagegen import generate_image_table
+
+        d = str(tmp_path / "gen")
+        generate_image_table(d, n_entities=8, snapshots=2, seed=1)
+        # plant a stale shard mimicking an old layout
+        stale = os.path.join(d, "images", "shard-99999.parquet")
+        with open(stale, "wb") as f:
+            f.write(b"junk")
+        # marker mismatch (different params) -> full regeneration
+        generate_image_table(d, n_entities=10, snapshots=2, seed=1)
+        assert not os.path.exists(stale)
+        files = os.listdir(os.path.join(d, "images"))
+        assert all(f.startswith("shard-") for f in files)
+        # cache hit leaves everything in place
+        before = sorted(os.listdir(os.path.join(d, "images")))
+        generate_image_table(d, n_entities=10, snapshots=2, seed=1)
+        assert sorted(os.listdir(os.path.join(d, "images"))) == before
