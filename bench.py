@@ -175,11 +175,12 @@ def bench_minhash_docs() -> float:
 
     from mobray.pipelines.dedup import minhash_lsh_dedup
 
+    # repartition breaks ReadParquet->MapBatches operator fusion: the docs
+    # table is one file = one read TASK, and a fused signature stage would
+    # run serially no matter how many output blocks the read declares
     ds = ray.data.read_parquet(
-        f"{SF_DIR}/documents.parquet",
-        columns=["doc_id", "text"],
-        override_num_blocks=NUM_CPUS * 2,
-    )
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(NUM_CPUS * 2)
     sec, _ = timed(lambda: minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8))
     return sec
 

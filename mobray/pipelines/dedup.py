@@ -11,6 +11,14 @@ PARTITIONING ASSUMPTION (all ops): rows with equal keys land in one
 group. Near-dup ops additionally assume the candidate-pair set is sparse
 (<< corpus size), which banding/threshold parameters control; the final
 cluster merge (union-find) runs on the driver over pairs only.
+
+GROUP GRANULARITY: keys (band/chunk/content hashes) are near-unique, so
+``groupby(key).map_groups`` would invoke one Ray-level UDF per key —
+tens of thousands of per-group calls dominated wall time. Every op
+therefore groups by a coarse HASH BUCKET of the key (~auto-sized from
+input bytes) and vectorizes across the real key groups inside the
+bucket with a pandas groupby; per-key semantics are unchanged because a
+bucket is a superset partition of its keys.
 """
 
 from __future__ import annotations
@@ -35,6 +43,23 @@ from mobray.functions.hashing import (
 )
 
 
+def _with_dedup_bucket(ds, key_col: str, num_buckets: Optional[int] = None):
+    """Append ``__dbkt`` = key mod nb (keys here are already 64-bit
+    hashes, so a plain mod is a uniform bucket) and resolve nb from the
+    input bytes when not given. Returns (bucketed_ds, nb)."""
+    from mobray.pipelines.temporal import auto_num_buckets
+
+    nb = num_buckets if num_buckets is not None else auto_num_buckets(ds)
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__dbkt", pa.array((k % np.uint64(nb)).astype(np.int32), pa.int32())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow"), nb
+
+
 def exact_dedup(ds, col: str, id_col: str, keep: str = "min"):
     """Exact dedup on ``col``: one surviving row (min/max ``id_col``) per
     distinct value. Hash-partition on a 64-bit content hash, keep-first
@@ -44,19 +69,24 @@ def exact_dedup(ds, col: str, id_col: str, keep: str = "min"):
         key = stable_hash64(batch[col].to_pylist()).astype(np.int64)
         return batch.append_column("__key", pa.array(key, pa.int64()))
 
-    def keep_one(g: pd.DataFrame):
-        g = g.sort_values(id_col, ascending=(keep == "min"), kind="stable")
-        out = g.head(1).copy()
-        out["n_dups"] = len(g)
+    def keep_one_per_key(g: pd.DataFrame):
+        # whole BUCKET of keys at once: sort + drop_duplicates is the
+        # vectorized per-key keep-first (no per-key UDF invocations)
+        g = g.sort_values(
+            ["__key", id_col], ascending=[True, keep == "min"], kind="stable"
+        )
+        out = g.drop_duplicates("__key").copy()
+        out["n_dups"] = g.groupby("__key").size().reindex(out["__key"]).to_numpy()
         # Arrow out: empty pandas blocks would bypass downstream
         # map_batches conversion (see _per_bucket)
-        return pa.Table.from_pandas(out.drop(columns="__key"), preserve_index=False)
+        return pa.Table.from_pandas(
+            out.drop(columns=["__key", "__dbkt"]), preserve_index=False
+        )
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("__key")
-        .map_groups(keep_one, batch_format="pandas")
+    keyed, _ = _with_dedup_bucket(
+        ds.map_batches(add_key, batch_format="pyarrow"), "__key"
     )
+    return keyed.groupby("__dbkt").map_groups(keep_one_per_key, batch_format="pandas")
 
 
 def _union_find(pairs: List[tuple]) -> Dict:
@@ -103,6 +133,12 @@ def minhash_lsh_dedup(
     Returns (id, cluster) for ids that belong to a near-dup cluster;
     singletons are omitted. Only signatures (8 bytes x num_perm) travel
     through the shuffle — never the documents.
+
+    PARALLELISM CAVEAT: Ray fuses ReadParquet into the signature
+    map_batches, so a single-file input runs the CPU-heavy signature
+    kernel in ONE task regardless of declared block count. Callers with
+    few input files should ``ds.repartition(~2x cpus)`` first (the text
+    shuffle is trivial next to the kernel).
     """
     a, b = minhash_params(num_perm)
 
@@ -134,17 +170,8 @@ def minhash_lsh_dedup(
             }
         )
 
-    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "est_jaccard": pd.Series(dtype="float64")}
-        )
-        if len(g) < 2:
-            return pa.Table.from_pandas(empty, preserve_index=False)
-        docs = g["doc"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+    def _pairs_in_group(docs, sigs, pairs: list):
         m = len(docs)
-        pairs = []
         # vectorized pairwise signature agreement, row-chunked so the
         # (chunk x m x num_perm) bool tensor stays bounded
         chunk = max(1, (8 << 20) // max(1, m * sigs.shape[1]))
@@ -158,6 +185,19 @@ def minhash_lsh_dedup(
                     continue
                 lo, hi = sorted((docs[i], docs[j]))
                 pairs.append((lo, hi, float(est[i_off, j])))
+
+    def candidate_pairs(g: pd.DataFrame):
+        # one BUCKET of band groups; only bands with >= 2 rows can emit
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+        g = g[g.groupby("band_key")["doc"].transform("size") >= 2]
+        pairs: list = []
+        for _, sub in g.groupby("band_key"):
+            docs = sub["doc"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+            _pairs_in_group(docs, sigs, pairs)
         if not pairs:
             return pa.Table.from_pandas(empty, preserve_index=False)
         return pa.Table.from_pandas(
@@ -165,10 +205,11 @@ def minhash_lsh_dedup(
             preserve_index=False,
         )
 
-    pairs_ds = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(candidate_pairs, batch_format="pandas")
+    sig_ds, _ = _with_dedup_bucket(
+        ds.map_batches(sig_rows, batch_format="pyarrow"), "band_key"
+    )
+    pairs_ds = sig_ds.groupby("__dbkt").map_groups(
+        candidate_pairs, batch_format="pandas"
     )
     if cluster_backend == "distributed":
         labels = connected_components_distributed(pairs_ds, "a", "b")
@@ -227,28 +268,8 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        docs = g["doc"].to_numpy()
-        sigs = g["sig"].to_numpy()
-        pairs = []
-        for i in range(len(docs)):
-            d = hamming64(np.full(len(docs) - i - 1, sigs[i]), sigs[i + 1 :])
-            for off, dist in enumerate(d):
-                j = i + 1 + off
-                if docs[i] != docs[j] and dist <= hamming_radius:
-                    lo, hi = sorted((docs[i], docs[j]))
-                    pairs.append((lo, hi, int(dist)))
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
-
-    out = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+    out = _hamming_verify_bucketed(
+        ds.map_batches(sig_rows, batch_format="pyarrow"), hamming_radius
     )
     if len(out) == 0:
         return pd.DataFrame(columns=["a", "b", "hamming"])
@@ -256,6 +277,39 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
         out.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])
         .reset_index(drop=True)
+    )
+
+
+def _hamming_verify_bucketed(sig_ds, hamming_radius: int) -> pd.DataFrame:
+    """Shared verify stage for simhash/phash: coarse-bucket the chunk
+    keys, then per real chunk group emit (a, b, hamming) pairs within
+    the radius. One Ray group per bucket (see module docstring)."""
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas out (consumer is an immediate to_pandas): id dtypes vary
+        # by caller (simhash int docs, phash string image ids) and pandas
+        # concat is dtype-lenient where a typed Arrow empty would not be
+        g = g[g.groupby("chunk_key")["doc"].transform("size") >= 2]
+        pairs = []
+        for _, sub in g.groupby("chunk_key"):
+            docs = sub["doc"].to_numpy()
+            sigs = sub["sig"].to_numpy()
+            for i in range(len(docs)):
+                d = hamming64(np.full(len(docs) - i - 1, sigs[i]), sigs[i + 1 :])
+                for off, dist in enumerate(d):
+                    j = i + 1 + off
+                    if docs[i] != docs[j] and dist <= hamming_radius:
+                        lo, hi = sorted((docs[i], docs[j]))
+                        pairs.append((lo, hi, int(dist)))
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
+
+    bucketed, _ = _with_dedup_bucket(sig_ds, "chunk_key")
+    return (
+        bucketed.groupby("__dbkt")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
     )
 
 
@@ -284,27 +338,33 @@ def ngram_jaccard_pairs(
             "__ngram_bucket", pa.array(key.astype(np.int64), pa.int64())
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        grams = [word_ngrams(t or "", n) for t in g[text_col]]
-        docs = g[id_col].to_numpy()
+    def verify(g: pd.DataFrame):
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        g = g[g.groupby("__ngram_bucket")[id_col].transform("size") >= 2]
         pairs = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                sim = jaccard(grams[i], grams[j])
-                if sim >= threshold and docs[i] != docs[j]:
-                    lo, hi = sorted((docs[i], docs[j]))
-                    pairs.append((lo, hi, sim))
+        for _, sub in g.groupby("__ngram_bucket"):
+            grams = [word_ngrams(t or "", n) for t in sub[text_col]]
+            docs = sub[id_col].to_numpy()
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    sim = jaccard(grams[i], grams[j])
+                    if sim >= threshold and docs[i] != docs[j]:
+                        lo, hi = sorted((docs[i], docs[j]))
+                        pairs.append((lo, hi, sim))
         if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        return pd.DataFrame(pairs, columns=["a", "b", "jaccard"])
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        return pa.Table.from_pandas(
+            pd.DataFrame(pairs, columns=["a", "b", "jaccard"]),
+            preserve_index=False,
+        )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__ngram_bucket")
-        .map_groups(verify, batch_format="pandas")
+    bucketed, _ = _with_dedup_bucket(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), "__ngram_bucket"
     )
+    return bucketed.groupby("__dbkt").map_groups(verify, batch_format="pandas")
 
 
 def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6):
@@ -334,28 +394,8 @@ def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        docs = g["doc"].to_numpy()
-        sigs = g["sig"].to_numpy()
-        pairs = []
-        for i in range(len(docs)):
-            d = hamming64(np.full(len(docs) - i - 1, sigs[i]), sigs[i + 1 :])
-            for off, dist in enumerate(d):
-                j = i + 1 + off
-                if docs[i] != docs[j] and dist <= hamming_radius:
-                    lo, hi = sorted((docs[i], docs[j]))
-                    pairs.append((lo, hi, int(dist)))
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
-
-    out = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+    out = _hamming_verify_bucketed(
+        ds.map_batches(sig_rows, batch_format="pyarrow"), hamming_radius
     )
     if len(out) == 0:
         return pd.DataFrame(columns=["a", "b", "hamming"])
@@ -418,26 +458,30 @@ def embedding_neardup_pairs(
         return out
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        emb = np.array(g["emb"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norms, 1e-12)
-        sims = emb @ emb.T
-        docs = g["doc"].to_numpy()
-        ii, jj = np.where(np.triu(sims, k=1) >= threshold)
+        # pandas out (consumer is an immediate to_pandas; see
+        # _hamming_verify_bucketed for the dtype rationale)
+        g = g[g.groupby("bucket")["doc"].transform("size") >= 2]
         pairs = []
-        for i, j in zip(ii, jj):
-            if docs[i] != docs[j]:
-                lo, hi = sorted((docs[i], docs[j]))
-                pairs.append((lo, hi, float(sims[i, j])))
+        for _, sub in g.groupby("bucket"):
+            emb = np.array(sub["emb"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+            sims = emb @ emb.T
+            docs = sub["doc"].to_numpy()
+            ii, jj = np.where(np.triu(sims, k=1) >= threshold)
+            for i, j in zip(ii, jj):
+                if docs[i] != docs[j]:
+                    lo, hi = sorted((docs[i], docs[j]))
+                    pairs.append((lo, hi, float(sims[i, j])))
         if not pairs:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
         return pd.DataFrame(pairs, columns=["a", "b", "cosine"])
 
+    bucketed, _ = _with_dedup_bucket(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), "bucket"
+    )
     out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
+        bucketed.groupby("__dbkt")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
