@@ -196,6 +196,45 @@ class TestHashKernels:
         want = [(int(ai) * int(xi)) % _MERSENNE for ai, xi in zip(a, x)]
         assert got.tolist() == want
 
+    def test_mulmod61_full_uint64_range(self):
+        # operands ABOVE the modulus (raw 64-bit hashes) must reduce
+        # exactly too — the division-free fold path has its own bounds
+        import numpy as np
+
+        from mobray.functions.hashing import _MERSENNE, mulmod61
+
+        rng = np.random.Generator(np.random.PCG64(6))
+        a = rng.integers(0, 2**64, size=500, dtype=np.uint64)
+        x = rng.integers(0, 2**64, size=500, dtype=np.uint64)
+        got = mulmod61(a, x)
+        want = [(int(ai) * int(xi)) % _MERSENNE for ai, xi in zip(a, x)]
+        assert got.tolist() == want
+        edges = [0, 1, _MERSENNE - 1, _MERSENNE, _MERSENNE + 1, 2**61, 2**64 - 1]
+        for ai in edges:
+            for xi in edges:
+                g = mulmod61(
+                    np.array([ai], dtype=np.uint64), np.array([xi], dtype=np.uint64)
+                )[0]
+                assert int(g) == (ai * xi) % _MERSENNE, (ai, xi)
+
+    def test_minhash_signatures_duplicate_shingles_invariant(self):
+        # min over a SET == min over the multiset: the batched kernel
+        # dedups per-doc shingles as a kernel-cost optimization
+        import numpy as np
+
+        from mobray.functions.hashing import (
+            minhash_params,
+            minhash_signature,
+            minhash_signatures,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        base = rng.integers(0, 2**64, size=40, dtype=np.uint64)
+        dup = np.concatenate([base, base[:17], base[5:9]])
+        a, b = minhash_params(32)
+        batch = minhash_signatures(dup, np.array([0], dtype=np.int64), a, b)
+        assert batch[0].tolist() == minhash_signature(base, a, b).tolist()
+
     def test_minhash_signatures_batch_matches_scalar(self):
         import numpy as np
 
