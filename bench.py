@@ -307,14 +307,27 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N-vs-4N pair; 4/16 (SCALING_LO=4) halves the credit burn rate on
+    # this burst-metered VM and is an equally valid two-level measurement
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = lo * 4
     repeats = int(os.environ.get("SCALING_REPEAT", "2"))
+    # this VM meters CPU by burst credits: a full-rate run drains them and
+    # later runs in the pair measure the throttled machine, not the job.
+    # Run the 32-CPU level FIRST (it needs 4x the credit budget), cool
+    # down between runs, and record an independent CPU probe next to each
+    # leg so a throttled window is visible in the data.
+    cooldown = int(os.environ.get("SCALING_COOLDOWN", "60"))
     lo_runs, hi_runs = [], []
-    for _ in range(repeats):
-        lo_runs.append(run(lo))
-        hi_runs.append(run(hi))
-    r_lo = min(lo_runs, key=lambda r: r["value"])
-    r_hi = min(hi_runs, key=lambda r: r["value"])
+    for i in range(repeats):
+        if i > 0 and cooldown:
+            time.sleep(cooldown)
+        hi_runs.append((cpu_probe(hi), run(hi)))
+        if cooldown:
+            time.sleep(cooldown)
+        lo_runs.append((cpu_probe(lo), run(lo)))
+    p_lo, r_lo = min(lo_runs, key=lambda r: r[1]["value"])
+    p_hi, r_hi = min(hi_runs, key=lambda r: r[1]["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     result = {
@@ -326,10 +339,38 @@ def scaling() -> None:
         "rows_per_sec_lo": r_lo["feature_rows_per_sec"],
         "rows_per_sec_hi": r_hi["feature_rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "probe_mops_lo": p_lo,
+        "probe_mops_hi": p_hi,
         "sf": r_hi["sf"],
     }
     print(json.dumps(result))
     _record_baseline(result)
+
+
+def cpu_probe(nproc: int) -> float:
+    """Independent-of-Ray hardware throughput probe: total Mops/s of
+    ``nproc`` busy multiprocessing workers over ~1.5 s. Recorded next to
+    each scaling leg; a depressed probe identifies burst-credit
+    throttling as machine state rather than job behavior."""
+    import multiprocessing as mp
+
+    def spin(v):
+        t0 = time.time()
+        c = 0
+        x = 1.0
+        while time.time() - t0 < 1.5:
+            for _ in range(10000):
+                x = x * 1.0000001 % 10
+            c += 10000
+        v.value = c
+
+    vals = [mp.Value("l", 0) for _ in range(nproc)]
+    ps = [mp.Process(target=spin, args=(v,)) for v in vals]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(v.value for v in vals) / 1.5 / 1e6, 1)
 
 
 def _record_baseline(result: dict) -> None:
@@ -344,11 +385,17 @@ def _record_baseline(result: dict) -> None:
         f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
         f"| {result['scaling_efficiency']} |\n"
     )
+    eff_cell = str(result["scaling_efficiency"])
+    if "probe_mops_lo" in result:
+        eff_cell += (
+            f" (hw probe {result['probe_mops_hi']}/{result['probe_mops_lo']}"
+            f" Mops at hi/lo)"
+        )
     row = (
         f"| {result['sf']} | {result['cpus_lo']}/{result['cpus_hi']} "
         f"| {result['sec_lo']} | {result['sec_hi']} "
         f"| {result['rows_per_sec_lo']} | {result['rows_per_sec_hi']} "
-        f"| {result['scaling_efficiency']} |\n"
+        f"| {eff_cell} |\n"
     )
     try:
         with open(path) as f:
@@ -359,6 +406,8 @@ def _record_baseline(result: dict) -> None:
             insert_at = content.find("\n\n", content.find("|---", table_start))
             if insert_at == -1:
                 insert_at = len(content)
+            else:
+                insert_at += 1  # AFTER the last row's newline, not before it
             content = content[:insert_at] + row.rstrip("\n") + "\n" + content[insert_at:]
         else:
             content = content.rstrip() + "\n" + entry
