@@ -14,21 +14,43 @@ from __future__ import annotations
 import numpy as np
 
 
+# Boundary arrays depend only on (h, w); images arrive in a handful of
+# shapes per batch, so memoize (rb, cb, 1/area) — profiling showed the
+# arange/diff/append/outer bookkeeping costing as much as the reduceat
+# itself when recomputed per image. Values are identical (same integer
+# math), just cached, so stored phashes remain bit-exact.
+_BOUNDS_8: dict = {}
+
+
+def _bounds_8x8(h: int, w: int):
+    key = (h, w)
+    hit = _BOUNDS_8.get(key)
+    if hit is None:
+        rb = (np.arange(8) * h) // 8
+        cb = (np.arange(8) * w) // 8
+        rcounts = np.diff(np.append(rb, h))
+        ccounts = np.diff(np.append(cb, w))
+        area = np.outer(rcounts, ccounts)
+        if len(_BOUNDS_8) >= 1024:
+            _BOUNDS_8.clear()
+        hit = _BOUNDS_8[key] = (rb, cb, area)
+    return hit
+
+
 def _area_mean_8x8(gray: np.ndarray) -> np.ndarray:
     """Area-average an (H, W) float array down to 8x8 via reduceat on
     integer cell boundaries (handles any H, W >= 1)."""
     h, w = gray.shape
-    rb = (np.arange(8) * h) // 8
-    cb = (np.arange(8) * w) // 8
+    rb, cb, area = _bounds_8x8(h, w)
     sums = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
-    rcounts = np.diff(np.append(rb, h))
-    ccounts = np.diff(np.append(cb, w))
-    return sums / np.outer(rcounts, ccounts)
+    return sums / area
 
 
 def phash64(pixels: np.ndarray) -> int:
     """(H, W, 3) uint8 -> signed int64 perceptual hash."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    # dtype=float64 accumulates (a+b)+c in float64 exactly like
+    # astype-then-mean, minus the full-image float64 copy
+    gray = np.mean(pixels, axis=2, dtype=np.float64)
     cells = _area_mean_8x8(gray)
     bits = (cells > cells.mean()).ravel()
     packed = np.packbits(bits.astype(np.uint8))  # 8 bytes, big-endian bit order

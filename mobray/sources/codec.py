@@ -147,22 +147,40 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     )
 
 
+# (h, w, out_h, out_w) -> (rb, cb, area) — boundary bookkeeping
+# (arange/diff/append/outer) costs as much as the reduceat itself when
+# recomputed per image; shapes repeat heavily within a batch, so memoize.
+# Identical integer math, so outputs are bit-exact vs the uncached path.
+_RESIZE_BOUNDS: dict = {}
+
+
+def _resize_bounds(h: int, w: int, out_h: int, out_w: int):
+    key = (h, w, out_h, out_w)
+    hit = _RESIZE_BOUNDS.get(key)
+    if hit is None:
+        rb = (np.arange(out_h) * h) // out_h
+        cb = (np.arange(out_w) * w) // out_w
+        # upscaling duplicates cell boundaries; reduceat then yields the
+        # single source pixel for the zero-width cell, so clamping the
+        # count to 1 gives exact nearest-cell repetition (not inf/255)
+        rcounts = np.maximum(np.diff(np.append(rb, h)), 1).astype(np.float64)
+        ccounts = np.maximum(np.diff(np.append(cb, w)), 1).astype(np.float64)
+        area = np.outer(rcounts, ccounts)[:, :, None]
+        if len(_RESIZE_BOUNDS) >= 1024:
+            _RESIZE_BOUNDS.clear()
+        hit = _RESIZE_BOUNDS[key] = (rb, cb, area)
+    return hit
+
+
 def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-average resize of an (H, W, C) uint8 image to (out_h, out_w, C)
     — pure numpy (PIL unavailable), exact box-filter semantics via
     reduceat on integer cell boundaries. Downscale-oriented; upscaling
     repeats source pixels (nearest-cell)."""
     h, w, c = pixels.shape
-    rb = (np.arange(out_h) * h) // out_h
-    cb = (np.arange(out_w) * w) // out_w
+    rb, cb, area = _resize_bounds(h, w, out_h, out_w)
     acc = pixels.astype(np.float64)
     sums = np.add.reduceat(np.add.reduceat(acc, rb, axis=0), cb, axis=1)
-    # upscaling duplicates cell boundaries; reduceat then yields the
-    # single source pixel for the zero-width cell, so clamping the count
-    # to 1 gives exact nearest-cell repetition (not inf/clipped-255)
-    rcounts = np.maximum(np.diff(np.append(rb, h)), 1).astype(np.float64)
-    ccounts = np.maximum(np.diff(np.append(cb, w)), 1).astype(np.float64)
-    area = np.outer(rcounts, ccounts)[:, :, None]
     out = sums / area
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
