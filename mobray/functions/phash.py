@@ -58,6 +58,22 @@ def phash64(pixels: np.ndarray) -> int:
     return int(np.uint64(u).astype(np.int64))
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N,) int64 phash, bit-exact vs per-image
+    ``phash64``: every reduction (channel mean, reduceat cell sums, cell
+    mean) runs in the same element order per image, just across a stack,
+    so the per-image numpy call overhead amortizes over N."""
+    n, h, w, _ = stack.shape
+    rb, cb, area = _bounds_8x8(h, w)
+    gray = np.mean(stack, axis=3, dtype=np.float64)
+    sums = np.add.reduceat(np.add.reduceat(gray, rb, axis=1), cb, axis=2)
+    cells = (sums / area).reshape(n, 64)
+    bits = cells > cells.mean(axis=1)[:, None]
+    packed = np.packbits(bits.astype(np.uint8), axis=1)  # (n, 8) big-endian
+    u = np.ascontiguousarray(packed).view(">u8").ravel()
+    return u.astype(np.uint64).view(np.int64)
+
+
 def popcount64(values: np.ndarray) -> np.ndarray:
     """Vectorized popcount of an int64/uint64 array -> int32 (0..64)."""
     v = np.asarray(values).astype(np.int64).view(np.uint64)

@@ -179,10 +179,40 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     repeats source pixels (nearest-cell)."""
     h, w, c = pixels.shape
     rb, cb, area = _resize_bounds(h, w, out_h, out_w)
-    acc = pixels.astype(np.float64)
-    sums = np.add.reduceat(np.add.reduceat(acc, rb, axis=0), cb, axis=1)
-    out = sums / area
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # dtype=float64 folds the uint8->float64 cast into the first
+    # reduction (no full-image float64 copy); an area mean of uint8 is
+    # provably in [0, 255] so no clip pass is needed before the cast
+    sums = np.add.reduceat(
+        np.add.reduceat(pixels, rb, axis=0, dtype=np.float64), cb, axis=1
+    )
+    return np.rint(sums / area).astype(np.uint8)
+
+
+def resize_area_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(N, H, W, C) uint8 -> (N, out_h, out_w, C) uint8, bit-exact vs
+    per-image ``resize_area`` (same reduceat segment order per image)."""
+    n, h, w, c = stack.shape
+    rb, cb, area = _resize_bounds(h, w, out_h, out_w)
+    # see resize_area: cast folded into the first reduceat, clip provably
+    # a no-op on area means of uint8
+    sums = np.add.reduceat(
+        np.add.reduceat(stack, rb, axis=1, dtype=np.float64), cb, axis=2
+    )
+    return np.rint(sums / area).astype(np.uint8)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> np.ndarray:
+    """Per-image PSNR over stacks of identical shape: (N, ...) vs
+    (N, ...) -> (N,) float64, inf where images are identical. Bit-exact
+    vs per-image ``psnr`` (mean over each image's contiguous block)."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(diff * diff, axis=tuple(range(1, a.ndim)))
+    out = np.full(len(mse), np.inf)
+    nz = mse > 0.0
+    out[nz] = 10.0 * np.log10(peak * peak / mse[nz])
+    return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:

@@ -22,8 +22,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from mobray.functions.phash import phash64, popcount64
-from mobray.sources.codec import decode_image, encode_image, psnr, resize_area
+from mobray.functions.phash import phash64, phash64_batch, popcount64
+from mobray.sources.codec import (
+    decode_image,
+    encode_image,
+    psnr,
+    psnr_batch,
+    resize_area,
+    resize_area_batch,
+)
 from mobray.sources.imagegen import REF_THUMB_SIZE
 
 
@@ -79,24 +86,55 @@ class DecodeVerifyStage:
         bright = np.full(n, np.nan)
         thumb_ph = np.zeros(n, dtype=np.int64)
 
+        # decode is per-image (png framing); everything downstream runs
+        # on same-shape stacks so the numpy kernels amortize across the
+        # batch instead of paying per-image call overhead
+        decoded: dict = {}  # (h, w) -> list[(row_idx, pixels)]
         for i in range(n):
             try:
                 px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
             except Exception:
                 continue
             ok[i] = True
-            bright[i] = float(px.mean())
-            if refs is not None and refs[i] is not None:
-                ref = np.frombuffer(refs[i], dtype=np.uint8).reshape(
-                    REF_THUMB_SIZE, REF_THUMB_SIZE, 3
+            decoded.setdefault(px.shape[:2], []).append((i, px))
+
+        for (h, w), items in decoded.items():
+            # chunk so the float64 working set stays ~<=64 MB per stack
+            chunk = max(1, (64 << 20) // (h * w * 3 * 8))
+            for s in range(0, len(items), chunk):
+                part = items[s : s + chunk]
+                idx = np.fromiter((i for i, _ in part), dtype=np.intp)
+                stack = np.stack([px for _, px in part])
+                bright[idx] = np.mean(
+                    stack, axis=(1, 2, 3), dtype=np.float64
                 )
-                got = resize_area(px, REF_THUMB_SIZE, REF_THUMB_SIZE)
-                psnrs[i] = psnr(got, ref)
-            if self.check_phash:
-                ph_match[i] = phash64(px) == int(stored_ph[i])
-            if self.extract_thumb:
-                thumb = resize_area(px, self.thumb_size, self.thumb_size)
-                thumb_ph[i] = phash64(thumb)
+                if refs is not None:
+                    has_ref = np.fromiter(
+                        (refs[i] is not None for i in idx), dtype=bool
+                    )
+                    if has_ref.any():
+                        ridx = idx[has_ref]
+                        ref = np.stack(
+                            [
+                                np.frombuffer(refs[i], dtype=np.uint8).reshape(
+                                    REF_THUMB_SIZE, REF_THUMB_SIZE, 3
+                                )
+                                for i in ridx
+                            ]
+                        )
+                        got = resize_area_batch(
+                            stack[has_ref], REF_THUMB_SIZE, REF_THUMB_SIZE
+                        )
+                        psnrs[ridx] = psnr_batch(got, ref)
+                if self.check_phash:
+                    ph_match[idx] = phash64_batch(stack) == stored_ph[idx].astype(
+                        np.int64
+                    )
+                if self.extract_thumb:
+                    thumbs = resize_area_batch(
+                        stack, self.thumb_size, self.thumb_size
+                    )
+                    thumb_ph[idx] = phash64_batch(thumbs)
 
         batch = batch.append_column("decode_ok", pa.array(ok))
         batch = batch.append_column("phash_match", pa.array(ph_match))

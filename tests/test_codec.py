@@ -3,15 +3,18 @@
 import numpy as np
 import pytest
 
-from mobray.functions.phash import hamming64, phash64, popcount64
+from mobray.functions.phash import hamming64, phash64, phash64_batch, popcount64
 from mobray.sources.codec import (
     decode_image,
     encode_image,
     png_decode,
     png_encode,
     psnr,
+    psnr_batch,
     raw_decode,
     raw_encode,
+    resize_area,
+    resize_area_batch,
 )
 from mobray.sources.imagegen import gen_attrs_table, gen_entities_table, gen_entity_rows
 
@@ -186,3 +189,47 @@ class TestGeneratorRegen:
         before = sorted(os.listdir(os.path.join(d, "images")))
         generate_image_table(d, n_entities=10, snapshots=2, seed=1)
         assert sorted(os.listdir(os.path.join(d, "images"))) == before
+
+
+class TestBatchKernels:
+    """The decode stage runs verify/feature kernels on same-shape stacks;
+    each batched kernel must be bit-exact vs its per-image original."""
+
+    def test_resize_area_batch_bit_exact(self):
+        rng = np.random.default_rng(11)
+        for h, w in [(32, 32), (17, 31), (64, 48)]:
+            stack = rng.integers(0, 256, (6, h, w, 3), dtype=np.uint8)
+            for oh, ow in [(8, 8), (16, 16), (40, 40)]:
+                got = resize_area_batch(stack, ow, oh)
+                assert got.dtype == np.uint8
+                for k in range(len(stack)):
+                    assert np.array_equal(got[k], resize_area(stack[k], ow, oh))
+
+    def test_resize_area_upscale_values(self):
+        """Upscaling repeats source pixels (zero-width cells clamp to the
+        single boundary pixel, not inf/255)."""
+        px = np.full((2, 2, 3), 100, dtype=np.uint8)
+        assert np.all(resize_area(px, 4, 4) == 100)
+        grad = np.arange(4, dtype=np.uint8).reshape(2, 2)[:, :, None].repeat(3, 2)
+        up = resize_area(grad * 50, 4, 4)
+        assert set(np.unique(up)) == {0, 50, 100, 150}
+
+    def test_phash64_batch_bit_exact(self):
+        rng = np.random.default_rng(12)
+        for h, w in [(32, 32), (24, 40)]:
+            stack = rng.integers(0, 256, (9, h, w, 3), dtype=np.uint8)
+            got = phash64_batch(stack)
+            assert got.dtype == np.int64
+            for k in range(len(stack)):
+                assert int(got[k]) == phash64(stack[k])
+
+    def test_psnr_batch_bit_exact(self):
+        rng = np.random.default_rng(13)
+        a = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+        b = a.copy()
+        b[1] = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        b[3, 0, 0, 0] ^= 1  # single-bit corruption
+        got = psnr_batch(a, b)
+        assert np.isinf(got[0]) and np.isinf(got[2]) and np.isinf(got[4])
+        for k in range(5):
+            assert got[k] == psnr(a[k], b[k])
