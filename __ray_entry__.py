@@ -541,11 +541,18 @@ def q_customer_nation_join(sf_dir):
     from ray.data.aggregate import Count
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # dense int keys -> a positional numpy take is the vectorized lookup
+    # (the general small-side pattern is pd.Series(keys).map(dict))
+    import numpy as np
+
+    names_by_key = np.full(int(nation["n_nationkey"].max()) + 1, None, dtype=object)
+    names_by_key[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
 
     def add_nation(batch: "pa.Table") -> "pa.Table":
         keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = [lookup.get(int(k)) for k in keys]
+        valid = (keys >= 0) & (keys < len(names_by_key))
+        names = np.full(len(keys), None, dtype=object)
+        names[valid] = names_by_key[keys[valid]]
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])

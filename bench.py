@@ -347,6 +347,20 @@ def scaling() -> None:
     _record_baseline(result)
 
 
+def _probe_spin(v, duration: float = 1.5):
+    """Busy-loop worker for cpu_probe. Module-level so the probe works
+    under any multiprocessing start method (a nested closure only
+    pickles under 'fork')."""
+    t0 = time.time()
+    c = 0
+    x = 1.0
+    while time.time() - t0 < duration:
+        for _ in range(10000):
+            x = x * 1.0000001 % 10
+        c += 10000
+    v.value = c
+
+
 def cpu_probe(nproc: int) -> float:
     """Independent-of-Ray hardware throughput probe: total Mops/s of
     ``nproc`` busy multiprocessing workers over ~1.5 s. Recorded next to
@@ -354,18 +368,8 @@ def cpu_probe(nproc: int) -> float:
     throttling as machine state rather than job behavior."""
     import multiprocessing as mp
 
-    def spin(v):
-        t0 = time.time()
-        c = 0
-        x = 1.0
-        while time.time() - t0 < 1.5:
-            for _ in range(10000):
-                x = x * 1.0000001 % 10
-            c += 10000
-        v.value = c
-
     vals = [mp.Value("l", 0) for _ in range(nproc)]
-    ps = [mp.Process(target=spin, args=(v,)) for v in vals]
+    ps = [mp.Process(target=_probe_spin, args=(v,)) for v in vals]
     for p in ps:
         p.start()
     for p in ps:

@@ -46,34 +46,34 @@ class BinningConstraints:
 
     def __post_init__(self) -> None:
         if not isinstance(self.max_bins, int) or self.max_bins < 1:
-            raise ConstraintError(f"max_bins must be an integer >= 1, got {self.max_bins}")
+            raise ConstraintError(f"invalid max_bins={self.max_bins!r}: need an int of at least 1")
         if not isinstance(self.min_bins, int) or self.min_bins < 1:
-            raise ConstraintError(f"min_bins must be an integer >= 1, got {self.min_bins}")
+            raise ConstraintError(f"invalid min_bins={self.min_bins!r}: need an int of at least 1")
         if self.maximize_bins and self.min_bins > self.max_bins:
             raise ConstraintError(
-                f"min_bins ({self.min_bins}) cannot exceed max_bins ({self.max_bins}) "
-                f"when maximize_bins=True"
+                f"with maximize_bins=True, min_bins={self.min_bins} may not be "
+                f"larger than max_bins={self.max_bins}"
             )
         if not 0 < self.initial_pvalue <= 1:
             raise ConstraintError(
-                f"initial_pvalue must be in (0, 1], got {self.initial_pvalue}"
+                f"invalid initial_pvalue={self.initial_pvalue!r}: need a value in (0, 1]"
             )
         if self.max_samples is not None and self.max_samples <= 0:
-            raise ConstraintError(f"max_samples must be positive, got {self.max_samples}")
+            raise ConstraintError(f"invalid max_samples={self.max_samples!r}: need a positive value")
         if self.min_samples is not None and self.min_samples < 0:
-            raise ConstraintError(f"min_samples cannot be negative, got {self.min_samples}")
+            raise ConstraintError(f"invalid min_samples={self.min_samples!r}: need a non-negative value")
         if self.min_positives is not None and self.min_positives < 0:
             raise ConstraintError(
-                f"min_positives cannot be negative, got {self.min_positives}"
+                f"invalid min_positives={self.min_positives!r}: need a non-negative value"
             )
 
     def resolve(self, *, total_n: int, total_pos: int = 0) -> None:
         """Resolve fractional constraints against actual totals
         (MOBPY/core/constraints.py:118-208)."""
         if total_n < 0:
-            raise ValueError(f"total_n must be non-negative, got {total_n}")
+            raise ValueError(f"negative total_n ({total_n}) makes no sense here")
         if total_pos < 0:
-            raise ValueError(f"total_pos must be non-negative, got {total_pos}")
+            raise ValueError(f"negative total_pos ({total_pos}) makes no sense here")
 
         if self.max_samples is None:
             self.abs_max_samples = None
@@ -97,8 +97,8 @@ class BinningConstraints:
 
         if self.abs_max_samples is not None and self.abs_min_samples > self.abs_max_samples:
             raise ConstraintError(
-                f"min_samples ({self.abs_min_samples}) exceeds "
-                f"max_samples ({self.abs_max_samples}) after resolution"
+                f"resolved min_samples={self.abs_min_samples} ended up above "
+                f"resolved max_samples={self.abs_max_samples}"
             )
 
         if self.min_positives is None:
@@ -115,9 +115,9 @@ class BinningConstraints:
             max_possible = total_n // self.abs_min_samples
             if max_possible < self.min_bins:
                 warnings.warn(
-                    f"With min_samples={self.abs_min_samples}, only {max_possible} "
-                    f"bins are possible, but min_bins={self.min_bins}. "
-                    f"Some constraints may not be satisfied.",
+                    f"min_samples={self.abs_min_samples} caps the bin count at "
+                    f"{max_possible}, below min_bins={self.min_bins}; expect "
+                    f"unsatisfied constraints.",
                     BinningWarning,
                 )
 

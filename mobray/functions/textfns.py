@@ -100,20 +100,55 @@ def detect_language(texts: pd.Series) -> np.ndarray:
 def rolling_fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min over rolling-window
     hashes of the token stream -> int64. Robust to local edits outside
-    the minimizing window; cheap enough for a dedup pre-key."""
+    the minimizing window; cheap enough for a dedup pre-key.
+
+    Fully batched: ONE stable_hash64 over the batch's concatenated
+    tokens, one global sliding-window polynomial combine, and per-doc
+    mins via ``np.minimum.reduceat`` on (start, end) index pairs so
+    windows never straddle a document boundary (the same pattern as the
+    minhash signature kernel)."""
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
     out = np.zeros(len(texts), dtype=np.int64)
+    all_toks: list = []
+    offsets = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts.fillna("")):
-        toks = t.lower().split()
-        if not toks:
-            continue
-        th = stable_hash64(toks)
-        if len(th) <= window:
-            out[i] = np.int64(th.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
-            continue
-        # rolling polynomial combine over each window of token hashes
-        w = np.lib.stride_tricks.sliding_window_view(th, window)
-        combined = w[:, 0].copy()
-        for k in range(1, window):
-            combined = combined * np.uint64(1099511628211) + w[:, k]
-        out[i] = np.int64(combined.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        offsets[i] = len(all_toks)
+        all_toks.extend(t.lower().split())
+    total = len(all_toks)
+    if total == 0:
+        return out
+    th = stable_hash64(all_toks)
+    counts = np.diff(np.append(offsets, total))
+
+    # docs with <= window tokens: fingerprint = min raw token hash.
+    # reduceat over nonempty-doc starts segments th exactly per doc
+    # (empty docs contribute no tokens, so consecutive nonempty starts
+    # bound each doc's token run)
+    ne_idx = np.flatnonzero(counts > 0)
+    raw_min = np.minimum.reduceat(th, offsets[ne_idx])
+    small = counts[ne_idx] <= window
+    out[ne_idx[small]] = (raw_min[small] & mask).astype(np.int64)
+
+    big_idx = np.flatnonzero(counts > window)
+    if len(big_idx) == 0:
+        return out
+    # one global rolling polynomial combine; windows crossing document
+    # boundaries exist in `combined` but are excluded by the per-doc
+    # (start, end) reduceat pairs below
+    w = np.lib.stride_tricks.sliding_window_view(th, window)
+    combined = w[:, 0].copy()
+    for k in range(1, window):
+        combined *= np.uint64(1099511628211)
+        combined += w[:, k]
+    starts = offsets[big_idx]
+    ends = starts + counts[big_idx] - window + 1  # one past last valid start
+    idx = np.empty(2 * len(big_idx), dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = ends
+    if idx[-1] >= len(combined):
+        # reduceat indices must be in-bounds; the final slice runs to the
+        # array end implicitly when its end index is dropped
+        idx = idx[:-1]
+    mins = np.minimum.reduceat(combined, idx)[0::2]
+    out[big_idx] = (mins & mask).astype(np.int64)
     return out

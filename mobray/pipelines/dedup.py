@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mobray.functions.arrowutils import embedding_matrix
 from mobray.functions.phash import hamming64
 from mobray.functions.hashing import (
     band_keys_matrix,
@@ -43,16 +44,28 @@ from mobray.functions.hashing import (
 )
 
 
+def _mix64(k: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, uint64 wraparound): whitens
+    structured keys so the mod-bucket below is load-balanced even for
+    callers whose keys carry structure in the low bits (simhash chunk
+    keys are c*65536+chunk, embedding buckets are small sign
+    integers)."""
+    k = k ^ (k >> np.uint64(30))
+    k = k * np.uint64(0xBF58476D1CE4E5B9)
+    k = k ^ (k >> np.uint64(27))
+    k = k * np.uint64(0x94D049BB133111EB)
+    return k ^ (k >> np.uint64(31))
+
+
 def _with_dedup_bucket(ds, key_col: str, num_buckets: Optional[int] = None):
-    """Append ``__dbkt`` = key mod nb (keys here are already 64-bit
-    hashes, so a plain mod is a uniform bucket) and resolve nb from the
-    input bytes when not given. Returns (bucketed_ds, nb)."""
+    """Append ``__dbkt`` = splitmix64(key) mod nb and resolve nb from
+    the input bytes when not given. Returns (bucketed_ds, nb)."""
     from mobray.pipelines.temporal import auto_num_buckets
 
     nb = num_buckets if num_buckets is not None else auto_num_buckets(ds)
 
     def add(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = _mix64(t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64))
         return t.append_column(
             "__dbkt", pa.array((k % np.uint64(nb)).astype(np.int32), pa.int32())
         )
@@ -234,13 +247,76 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
+def _pairs_table(pairs, id_dtype, val_col: str, val_type) -> pa.Table:
+    """(a, b, val) triples -> an Arrow table whose schema is STABLE
+    across empty and non-empty groups. (An empty pandas object column
+    would type as Arrow null and break downstream unions/groupbys; ids
+    are typed from the caller's id dtype instead.)"""
+    id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+    schema = pa.schema([("a", id_type), ("b", id_type), (val_col, val_type)])
+    if not pairs:
+        return schema.empty_table()
+    a, b, v = zip(*pairs)
+    return pa.table(
+        {"a": pa.array(list(a), id_type), "b": pa.array(list(b), id_type),
+         val_col: pa.array(list(v), val_type)}
+    )
+
+
+def _finalize_pairs(pairs_ds, val_col: str, output: str, id_col: str):
+    """Shared pair-output escape hatches for the near-dup family — the
+    equivalent of minhash's ``cluster_backend`` flag, so no pair list is
+    forced through the driver at scale:
+
+    - 'pandas' (default): driver-collected sorted DataFrame (a, b, val).
+      Right while pairs are sparse (<< corpus).
+    - 'dataset': lazy DEDUPED pairs Dataset (a, b, val) — pairs found in
+      several LSH tables/chunks collapse via a (a, b) groupby; nothing
+      ever lands on the driver.
+    - 'clusters': Dataset (id_col, cluster) via distributed connected
+      components over the pair Dataset; the component's minimum id is
+      the kept representative (dropped from the output, matching the
+      driver union-find convention).
+    """
+    if output == "dataset":
+        from ray.data.aggregate import Min
+
+        return pairs_ds.groupby(["a", "b"]).aggregate(
+            Min(val_col, alias_name=val_col)
+        )
+    if output == "clusters":
+        labels = connected_components_distributed(pairs_ds, "a", "b")
+
+        def drop_roots(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.not_equal(t["node"], t["cluster"]))
+            return t.rename_columns([id_col, "cluster"])
+
+        return labels.map_batches(drop_roots, batch_format="pyarrow")
+    if output != "pandas":
+        raise ValueError(f"unknown output mode {output!r}")
+    out = pairs_ds.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(columns=["a", "b", val_col])
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def simhash_dedup(
+    ds, text_col: str, id_col: str, hamming_radius: int = 3, *,
+    output: str = "pandas",
+):
     """SimHash near-dup candidate pairs.
 
     64-bit simhash per doc; LSH on 4 x 16-bit chunks (two near-dup docs
     within Hamming distance 3 share at least one exact 16-bit chunk —
     pigeonhole), verify Hamming <= radius within chunk groups. Returns
-    (a, b, hamming) pairs as pandas."""
+    (a, b, hamming) pairs as pandas by default; ``output`` selects the
+    Dataset-returning scale paths (see ``_finalize_pairs``)."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -268,27 +344,24 @@ def simhash_dedup(ds, text_col: str, id_col: str, hamming_radius: int = 3):
             }
         )
 
-    out = _hamming_verify_bucketed(
+    pairs_ds = _hamming_verify_bucketed(
         ds.map_batches(sig_rows, batch_format="pyarrow"), hamming_radius
     )
-    if len(out) == 0:
-        return pd.DataFrame(columns=["a", "b", "hamming"])
-    return (
-        out.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    return _finalize_pairs(pairs_ds, "hamming", output, id_col)
 
 
-def _hamming_verify_bucketed(sig_ds, hamming_radius: int) -> pd.DataFrame:
+def _hamming_verify_bucketed(sig_ds, hamming_radius: int):
     """Shared verify stage for simhash/phash: coarse-bucket the chunk
     keys, then per real chunk group emit (a, b, hamming) pairs within
-    the radius. One Ray group per bucket (see module docstring)."""
+    the radius. One Ray group per bucket (see module docstring).
+    Returns the lazy pair Dataset (possibly with repeats across
+    chunks); callers finalize via ``_finalize_pairs``."""
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # pandas out (consumer is an immediate to_pandas): id dtypes vary
-        # by caller (simhash int docs, phash string image ids) and pandas
-        # concat is dtype-lenient where a typed Arrow empty would not be
+    def verify(g: pd.DataFrame):
+        # id dtypes vary by caller (simhash int docs, phash string image
+        # ids): type the Arrow output from the group's own dtype so
+        # empty and non-empty groups agree on schema
+        id_dtype = g["doc"].dtype
         g = g[g.groupby("chunk_key")["doc"].transform("size") >= 2]
         pairs = []
         for _, sub in g.groupby("chunk_key"):
@@ -301,16 +374,10 @@ def _hamming_verify_bucketed(sig_ds, hamming_radius: int) -> pd.DataFrame:
                     if docs[i] != docs[j] and dist <= hamming_radius:
                         lo, hi = sorted((docs[i], docs[j]))
                         pairs.append((lo, hi, int(dist)))
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        return pd.DataFrame(pairs, columns=["a", "b", "hamming"])
+        return _pairs_table(pairs, id_dtype, "hamming", pa.int64())
 
     bucketed, _ = _with_dedup_bucket(sig_ds, "chunk_key")
-    return (
-        bucketed.groupby("__dbkt")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    return bucketed.groupby("__dbkt").map_groups(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(
@@ -367,14 +434,18 @@ def ngram_jaccard_pairs(
     return bucketed.groupby("__dbkt").map_groups(verify, batch_format="pandas")
 
 
-def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6):
+def phash_neardup_pairs(
+    ds, phash_col: str, id_col: str, hamming_radius: int = 6, *,
+    output: str = "pandas",
+):
     """Image near-dup candidate pairs by perceptual-hash Hamming distance.
 
     Same 16-bit-chunk LSH as simhash_dedup but over a precomputed int64
     phash column (no decode needed): two hashes within Hamming distance
     <= 3 share an exact 16-bit chunk (pigeonhole); larger radii trade
-    recall. Returns (a, b, hamming) pairs. Shuffle ships only
-    (chunk_key, id, phash) rows."""
+    recall. Returns (a, b, hamming) pairs; ``output`` selects the
+    Dataset-returning scale paths (see ``_finalize_pairs``). Shuffle
+    ships only (chunk_key, id, phash) rows."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ph = batch[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -394,16 +465,10 @@ def phash_neardup_pairs(ds, phash_col: str, id_col: str, hamming_radius: int = 6
             }
         )
 
-    out = _hamming_verify_bucketed(
+    pairs_ds = _hamming_verify_bucketed(
         ds.map_batches(sig_rows, batch_format="pyarrow"), hamming_radius
     )
-    if len(out) == 0:
-        return pd.DataFrame(columns=["a", "b", "hamming"])
-    return (
-        out.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    return _finalize_pairs(pairs_ds, "hamming", output, id_col)
 
 
 def embedding_neardup_pairs(
@@ -416,9 +481,12 @@ def embedding_neardup_pairs(
     n_tables: int = 4,
     seed: int = 11,
     dim: Optional[int] = None,
+    output: str = "pandas",
 ):
     """Embedding-cosine near-dup pairs via multi-table random-hyperplane
-    LSH, returned as a sorted pandas DataFrame (a, b, cosine).
+    LSH, returned as a sorted pandas DataFrame (a, b, cosine) by
+    default; ``output`` selects the Dataset-returning scale paths (see
+    ``_finalize_pairs``).
 
     Each of ``n_tables`` independent tables buckets vectors by the
     sign-pattern of ``n_planes`` random projections; exact cosine is
@@ -436,7 +504,7 @@ def embedding_neardup_pairs(
     planes = rng.normal(size=(n_tables, dim, n_planes))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch[emb_col])
         n = len(emb)
         keys = np.empty((n_tables, n), dtype=np.int64)
         for t in range(n_tables):
@@ -457,13 +525,12 @@ def embedding_neardup_pairs(
         )
         return out
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # pandas out (consumer is an immediate to_pandas; see
-        # _hamming_verify_bucketed for the dtype rationale)
+    def verify(g: pd.DataFrame):
+        id_dtype = g["doc"].dtype
         g = g[g.groupby("bucket")["doc"].transform("size") >= 2]
         pairs = []
         for _, sub in g.groupby("bucket"):
-            emb = np.array(sub["emb"].tolist(), dtype=np.float64)
+            emb = np.stack(sub["emb"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(emb, axis=1, keepdims=True)
             emb = emb / np.maximum(norms, 1e-12)
             sims = emb @ emb.T
@@ -473,25 +540,13 @@ def embedding_neardup_pairs(
                 if docs[i] != docs[j]:
                     lo, hi = sorted((docs[i], docs[j]))
                     pairs.append((lo, hi, float(sims[i, j])))
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        return pd.DataFrame(pairs, columns=["a", "b", "cosine"])
+        return _pairs_table(pairs, id_dtype, "cosine", pa.float64())
 
     bucketed, _ = _with_dedup_bucket(
         ds.map_batches(add_bucket, batch_format="pyarrow"), "bucket"
     )
-    out = (
-        bucketed.groupby("__dbkt")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(out) == 0:
-        return pd.DataFrame(columns=["a", "b", "cosine"])
-    return (
-        out.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    pairs_ds = bucketed.groupby("__dbkt").map_groups(verify, batch_format="pandas")
+    return _finalize_pairs(pairs_ds, "cosine", output, id_col)
 
 
 def connected_components_distributed(
@@ -553,10 +608,14 @@ def connected_components_distributed(
         # order-insensitive fingerprint of the label table: sum of stable
         # per-row hashes, computed as a per-batch partial then a tiny sum
         def part(t: pa.Table) -> pa.Table:
-            h = stable_hash64(
-                [f"{n}:{c}" for n, c in zip(t["node"].to_pylist(),
-                                            t["cluster"].to_pylist())]
-            )
+            # fully vectorized (node, cluster) pair hash: hash each
+            # column at its native dtype (no per-row Python f-strings),
+            # mix one side so (a, b) != (b, a), xor-combine
+            import pandas as pd
+
+            hn = pd.util.hash_array(t["node"].to_numpy(zero_copy_only=False))
+            hc = pd.util.hash_array(t["cluster"].to_numpy(zero_copy_only=False))
+            h = _mix64(hn) ^ hc
             # 32-bit per-batch partials so the reduce-side sum stays
             # far inside int64 (a 63-bit partial overflowed the reduce)
             return pa.table({"s": [int(h.sum()) & 0xFFFFFFFF]})

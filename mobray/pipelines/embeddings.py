@@ -12,13 +12,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mobray.functions.arrowutils import embedding_matrix
+
 
 def group_centroids(ds, emb_col: str, group_col: str, normalize: bool = False):
     """Mean embedding per group -> pandas DataFrame
     (group, centroid:list<float>, n)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch[emb_col])
         groups = batch[group_col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"g": groups})
         out_g, out_sum, out_n = [], [], []

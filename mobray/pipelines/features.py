@@ -33,9 +33,13 @@ import pyarrow as pa
 from mobray.core.constraints import BinningConstraints
 from mobray.pipelines.fit import fit_dataset, multi_transform_dataset
 from mobray.pipelines.temporal import asof_join, asof_join_prepadded, make_pad_left_fn
-from mobray.sources.imagegen import read_attrs_table, read_image_table
+from mobray.sources.imagegen import mean_row_bytes, read_attrs_table, read_image_table
 from mobray.stages.binning import make_multi_transform_stage
-from mobray.stages.decode import DecodeVerifyStage, image_feature_stage
+from mobray.stages.decode import (
+    DecodeVerifyStage,
+    decode_batch_size_for,
+    image_feature_stage,
+)
 
 META_COLS = ["image_id", "w", "h", "fmt", "phash", "event_ts", "label"]
 
@@ -148,6 +152,25 @@ def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
     return _windows_and_write
 
 
+def payload_batch_size(
+    data_dir: str,
+    *,
+    decoded_budget_bytes: int = 64 << 20,
+    expansion: float = 4.0,
+    lo: int = 64,
+    hi: int = 2048,
+) -> int:
+    """Rows per payload-actor batch from a DECODED-byte budget: mean
+    on-disk row bytes (parquet footer metadata only) x a codec expansion
+    factor. A fixed row count produces uneven actor memory when image
+    sizes vary; this adapts the row count to the actual payload width."""
+    mean = mean_row_bytes(data_dir)
+    if mean <= 0:
+        return 256
+    rows = decode_batch_size_for(mean * expansion, decoded_budget_bytes)
+    return max(lo, min(hi, rows))
+
+
 def image_feature_pipeline(
     data_dir: str,
     *,
@@ -191,7 +214,7 @@ def image_feature_pipeline(
             PayloadStage,
             fn_constructor_kwargs={"model": model, "num_buckets": num_buckets},
             batch_format="pyarrow",
-            batch_size=256,
+            batch_size=payload_batch_size(data_dir),
             concurrency=decode_concurrency,
             num_cpus=1,
         )
@@ -276,7 +299,7 @@ def decode_verification_report(data_dir: str, concurrency: int = 4) -> dict:
     verified = ds.map_batches(
         DecodeVerifyStage,
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=payload_batch_size(data_dir),
         concurrency=concurrency,
         num_cpus=1,
     )

@@ -59,13 +59,16 @@ def collect_aggregates(
 
     edges = None
     if max_distinct_x is not None:
-        sample = (
-            ds.select_columns([x])
-            .limit(prebucket_sample_rows)
-            .to_pandas()[x]
-            .dropna()
-            .to_numpy(dtype=float)
-        )
+        # seeded RANDOM sample — a limit() would read only the first
+        # blocks, and on storage sorted by x the quantile edges would
+        # cover just the low tail (same bias class as IVF centroid
+        # training; see simsearch.train_centroids)
+        xs = ds.select_columns([x])
+        n = xs.count()
+        if n > prebucket_sample_rows:
+            frac = min(1.0, 1.5 * prebucket_sample_rows / n)
+            xs = xs.random_sample(frac, seed=7).limit(prebucket_sample_rows)
+        sample = xs.to_pandas()[x].dropna().to_numpy(dtype=float)
         if exclude_values:
             sample = sample[~np.isin(sample, list(exclude_values))]
         if len(sample):

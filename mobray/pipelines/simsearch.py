@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mobray.functions.arrowutils import embedding_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -35,7 +37,7 @@ def knn_bruteforce(ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
-        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        emb = _normalize(embedding_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sims = qm @ emb.T  # (n_queries, batch_rows)
         kk = min(k, sims.shape[1])
@@ -113,7 +115,7 @@ def knn_ivf(
     def batch_topk(batch: pa.Table) -> pa.Table:
         qm, probe_lists = ray.get(qref)
         cent = ray.get(cref)
-        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        emb = _normalize(embedding_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         cell = (emb @ cent.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []

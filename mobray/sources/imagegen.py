@@ -285,3 +285,19 @@ def read_attrs_table(out_dir: str):
     import ray.data
 
     return ray.data.read_parquet(os.path.join(out_dir, "attrs"))
+
+
+def mean_row_bytes(out_dir: str) -> float:
+    """Mean on-disk bytes per row of the image shards, from parquet
+    footer metadata only (no data read). Feeds the byte-budgeted decode
+    batch size (``decode_batch_size_for``)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(out_dir, "images", "*.parquet"))
+    if not files:
+        return 0.0
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return total_bytes / max(1, total_rows)

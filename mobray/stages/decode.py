@@ -86,55 +86,65 @@ class DecodeVerifyStage:
         bright = np.full(n, np.nan)
         thumb_ph = np.zeros(n, dtype=np.int64)
 
-        # decode is per-image (png framing); everything downstream runs
-        # on same-shape stacks so the numpy kernels amortize across the
-        # batch instead of paying per-image call overhead
+        def process(part: list) -> None:
+            # one same-shape stack of decoded images: all kernels amortize
+            # across the stack instead of paying per-image call overhead
+            idx = np.fromiter((i for i, _ in part), dtype=np.intp)
+            stack = np.stack([px for _, px in part])
+            bright[idx] = np.mean(stack, axis=(1, 2, 3), dtype=np.float64)
+            if refs is not None:
+                has_ref = np.fromiter(
+                    (refs[i] is not None for i in idx), dtype=bool
+                )
+                if has_ref.any():
+                    ridx = idx[has_ref]
+                    ref = np.stack(
+                        [
+                            np.frombuffer(refs[i], dtype=np.uint8).reshape(
+                                REF_THUMB_SIZE, REF_THUMB_SIZE, 3
+                            )
+                            for i in ridx
+                        ]
+                    )
+                    got = resize_area_batch(
+                        stack[has_ref], REF_THUMB_SIZE, REF_THUMB_SIZE
+                    )
+                    psnrs[ridx] = psnr_batch(got, ref)
+            if self.check_phash:
+                ph_match[idx] = phash64_batch(stack) == stored_ph[idx].astype(
+                    np.int64
+                )
+            if self.extract_thumb:
+                thumbs = resize_area_batch(stack, self.thumb_size, self.thumb_size)
+                thumb_ph[idx] = phash64_batch(thumbs)
+
+        # decode is per-image (png framing); same-shape stacks are
+        # processed AS SOON AS a chunk's worth accumulates so decoded
+        # pixels are released incrementally — peak per-actor memory is
+        # ~one chunk per distinct shape, not the whole batch's pixels.
+        # Chunk keeps the float64 working set ~<=64 MB per stack.
         decoded: dict = {}  # (h, w) -> list[(row_idx, pixels)]
+        chunk_for: dict = {}
         for i in range(n):
             try:
                 px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
             except Exception:
                 continue
             ok[i] = True
-            decoded.setdefault(px.shape[:2], []).append((i, px))
-
-        for (h, w), items in decoded.items():
-            # chunk so the float64 working set stays ~<=64 MB per stack
-            chunk = max(1, (64 << 20) // (h * w * 3 * 8))
-            for s in range(0, len(items), chunk):
-                part = items[s : s + chunk]
-                idx = np.fromiter((i for i, _ in part), dtype=np.intp)
-                stack = np.stack([px for _, px in part])
-                bright[idx] = np.mean(
-                    stack, axis=(1, 2, 3), dtype=np.float64
-                )
-                if refs is not None:
-                    has_ref = np.fromiter(
-                        (refs[i] is not None for i in idx), dtype=bool
-                    )
-                    if has_ref.any():
-                        ridx = idx[has_ref]
-                        ref = np.stack(
-                            [
-                                np.frombuffer(refs[i], dtype=np.uint8).reshape(
-                                    REF_THUMB_SIZE, REF_THUMB_SIZE, 3
-                                )
-                                for i in ridx
-                            ]
-                        )
-                        got = resize_area_batch(
-                            stack[has_ref], REF_THUMB_SIZE, REF_THUMB_SIZE
-                        )
-                        psnrs[ridx] = psnr_batch(got, ref)
-                if self.check_phash:
-                    ph_match[idx] = phash64_batch(stack) == stored_ph[idx].astype(
-                        np.int64
-                    )
-                if self.extract_thumb:
-                    thumbs = resize_area_batch(
-                        stack, self.thumb_size, self.thumb_size
-                    )
-                    thumb_ph[idx] = phash64_batch(thumbs)
+            shape = px.shape[:2]
+            lst = decoded.setdefault(shape, [])
+            lst.append((i, px))
+            chunk = chunk_for.get(shape)
+            if chunk is None:
+                chunk = max(1, (64 << 20) // (shape[0] * shape[1] * 3 * 8))
+                chunk_for[shape] = chunk
+            if len(lst) >= chunk:
+                process(lst)
+                lst.clear()
+        for lst in decoded.values():
+            if lst:
+                process(lst)
+                lst.clear()
 
         batch = batch.append_column("decode_ok", pa.array(ok))
         batch = batch.append_column("phash_match", pa.array(ph_match))

@@ -1,0 +1,87 @@
+"""embedding_matrix zero-copy extraction + byte-budgeted payload batch."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mobray.functions.arrowutils import embedding_matrix
+
+
+class TestEmbeddingMatrix:
+    def test_list_array(self):
+        vecs = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        col = pa.array(vecs, pa.list_(pa.float64()))
+        np.testing.assert_array_equal(embedding_matrix(col), np.array(vecs))
+
+    def test_fixed_size_list(self):
+        vals = np.arange(12, dtype=np.float32)
+        col = pa.FixedSizeListArray.from_arrays(pa.array(vals), 4)
+        out = embedding_matrix(col)
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, vals.reshape(3, 4))
+
+    def test_chunked_and_sliced(self):
+        vecs = [[float(i), float(i + 1)] for i in range(6)]
+        chunked = pa.chunked_array(
+            [pa.array(vecs[:2], pa.list_(pa.float64())),
+             pa.array(vecs[2:], pa.list_(pa.float64()))]
+        )
+        np.testing.assert_array_equal(embedding_matrix(chunked), np.array(vecs))
+        sliced = pa.array(vecs, pa.list_(pa.float64())).slice(2, 3)
+        np.testing.assert_array_equal(embedding_matrix(sliced), np.array(vecs[2:5]))
+
+    def test_matches_pylist_roundtrip(self):
+        rng = np.random.RandomState(0)
+        m = rng.normal(size=(50, 16))
+        col = pa.array(list(m), pa.list_(pa.float64()))
+        np.testing.assert_array_equal(
+            embedding_matrix(col), np.array(col.to_pylist(), dtype=np.float64)
+        )
+
+    def test_ragged_raises(self):
+        col = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="ragged"):
+            embedding_matrix(col)
+
+    def test_nulls_raise(self):
+        col = pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="null"):
+            embedding_matrix(col)
+
+    def test_empty(self):
+        col = pa.array([], pa.list_(pa.float64()))
+        assert embedding_matrix(col).shape == (0, 0)
+
+
+class TestPayloadBatchSize:
+    def test_budget_scales_with_row_width(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from mobray.pipelines.features import payload_batch_size
+
+        def make(dirname, blob_bytes):
+            d = tmp_path / dirname / "images"
+            os.makedirs(d)
+            rng = np.random.RandomState(0)
+            t = pa.table(
+                {"image_id": [f"i{k}" for k in range(64)],
+                 "bytes": [rng.bytes(blob_bytes) for _ in range(64)]}
+            )
+            pq.write_table(t, str(d / "shard-0.parquet"))
+            return str(tmp_path / dirname)
+
+        small = make("small", 2_000)
+        big = make("big", 64_000)
+        bs_small = payload_batch_size(small)
+        bs_big = payload_batch_size(big)
+        # wider rows -> fewer rows per batch, same byte budget
+        assert bs_small > bs_big
+        assert 64 <= bs_big <= bs_small <= 2048
+
+    def test_no_files_falls_back(self, tmp_path):
+        from mobray.pipelines.features import payload_batch_size
+
+        assert payload_batch_size(str(tmp_path)) == 256

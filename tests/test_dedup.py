@@ -409,3 +409,92 @@ class TestAutoBuckets:
         assert n_b >= 20
         # floor respected for in-memory datasets (no input files)
         assert auto_num_buckets(ray.data.from_pandas(small), floor=7) == 7
+
+
+class TestPairOutputModes:
+    """The Dataset-returning escape hatches (output='dataset'/'clusters')
+    must agree with the default driver-collected pandas path — mirrors
+    TestDistributedCC for the rest of the near-dup family."""
+
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_pandas(corpus()).repartition(2)
+
+    def test_simhash_dataset_matches_pandas(self, ray_session):
+        want = simhash_dedup(self._ds(), "text", "doc_id", hamming_radius=6)
+        got = (
+            simhash_dedup(
+                self._ds(), "text", "doc_id", hamming_radius=6, output="dataset"
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "hamming"]].astype("int64"),
+            want[["a", "b", "hamming"]].astype("int64"),
+        )
+
+    def test_simhash_clusters_match_union_find(self, ray_session):
+        from mobray.pipelines.dedup import _union_find
+
+        want_pairs = simhash_dedup(self._ds(), "text", "doc_id", hamming_radius=6)
+        want = sorted(_union_find(list(zip(want_pairs["a"], want_pairs["b"]))).items())
+        got = (
+            simhash_dedup(
+                self._ds(), "text", "doc_id", hamming_radius=6, output="clusters"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(zip(got["doc_id"], got["cluster"])) == want
+
+    def test_phash_dataset_matches_pandas(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.dedup import phash_neardup_pairs
+
+        rng = np.random.RandomState(11)
+        hashes = rng.randint(-(2**62), 2**62, size=50).astype(np.int64)
+        hashes[30] = hashes[10]
+        hashes[40] = hashes[20] ^ 0b101
+        df = pd.DataFrame({"image_id": [f"img{i:03d}" for i in range(50)],
+                           "phash": hashes})
+        ds = ray.data.from_pandas(df).repartition(3)
+        want = phash_neardup_pairs(ds, "phash", "image_id", hamming_radius=3)
+        got = (
+            phash_neardup_pairs(
+                ds, "phash", "image_id", hamming_radius=3, output="dataset"
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        # string ids exercise the dtype-stable empty-group schema
+        pd.testing.assert_frame_equal(got[["a", "b", "hamming"]], want)
+
+    def test_embedding_clusters(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        base = rng.normal(size=(20, 16))
+        emb = base.copy()
+        emb[7] = base[3] + rng.normal(scale=0.01, size=16)
+        df = pd.DataFrame({"vec_id": range(20), "embedding": list(emb)})
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = (
+            embedding_neardup_pairs(
+                ds, "embedding", "vec_id", threshold=0.95, n_planes=8,
+                output="clusters",
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(zip(got["vec_id"], got["cluster"])) == [(7, 3)]
+
+    def test_unknown_output_mode_raises(self, ray_session):
+        with pytest.raises(ValueError, match="output mode"):
+            simhash_dedup(self._ds(), "text", "doc_id", output="bogus")

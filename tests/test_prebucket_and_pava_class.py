@@ -85,3 +85,32 @@ class TestPrebucketing:
         assert s[s["bucket"] == "Missing"]["count"].iloc[0] == 100
         assert s[s["bucket"] == "Excluded:-999.0"]["count"].iloc[0] == 100
         assert s["count"].sum() == 5000
+
+
+class TestPrebucketSampleBias:
+    def test_sorted_storage_gets_full_range_edges(self, ray_session, tmp_path):
+        """Input SORTED by x (the storage order that biased a limit()
+        sample): quantile prebucket edges must still span the whole x
+        range, so the top of the distribution keeps its own buckets."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from mobray.pipelines.fit import fit_dataset
+
+        n = 400_000
+        rng = np.random.RandomState(3)
+        x = np.sort(rng.uniform(0, 1000, size=n))  # sorted-by-x storage
+        y = x * 0.01 + rng.normal(scale=0.5, size=n)
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"x": x, "y": y})),
+            str(tmp_path / "sorted.parquet"),
+        )
+        ds = ray.data.read_parquet(str(tmp_path / "sorted.parquet"))
+        model = fit_dataset(
+            ds, "x", "y", max_distinct_x=64, prebucket_sample_rows=20_000
+        )
+        uppers = model.rights[np.isfinite(model.rights)]
+        # a first-blocks sample would cap every finite edge near the low
+        # tail (~ first 20k of 400k sorted rows -> x < 50)
+        assert max(uppers) > 500
