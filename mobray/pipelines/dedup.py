@@ -389,10 +389,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     bucket_col: Optional[str] = None,
     num_buckets: int = 32,
+    max_bucket_rows: int = 10_000,
 ):
     """Exact word-n-gram Jaccard similarity pairs within candidate
     buckets (by default: rolling-fingerprint buckets, so only plausible
-    near-dups are compared; quadratic only WITHIN a bucket)."""
+    near-dups are compared; quadratic only WITHIN a bucket).
+
+    ``max_bucket_rows`` guards the in-bucket O(m^2) comparison against a
+    degenerate corpus (e.g. thousands of identical boilerplate docs
+    sharing one fingerprint): a bucket above the bound raises with
+    guidance instead of silently burning m^2/2 comparisons."""
     from mobray.functions.textfns import rolling_fingerprint
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -412,7 +418,14 @@ def ngram_jaccard_pairs(
         )
         g = g[g.groupby("__ngram_bucket")[id_col].transform("size") >= 2]
         pairs = []
-        for _, sub in g.groupby("__ngram_bucket"):
+        for bkt, sub in g.groupby("__ngram_bucket"):
+            if len(sub) > max_bucket_rows:
+                raise ValueError(
+                    f"candidate bucket {bkt} holds {len(sub)} docs "
+                    f"(> max_bucket_rows={max_bucket_rows}); the corpus is "
+                    f"degenerate for fingerprint bucketing — pre-dedup "
+                    f"exact duplicates or pass a finer bucket_col"
+                )
             grams = [word_ngrams(t or "", n) for t in sub[text_col]]
             docs = sub[id_col].to_numpy()
             for i in range(len(docs)):

@@ -124,3 +124,45 @@ class TestConfig:
         monkeypatch.setenv("MOBRAY_NUM_BUCKETS", "7")
         c = EngineConfig.from_env()
         assert c.epsilon == 1e-8 and c.num_buckets == 7
+
+
+class TestReferenceCompatShims:
+    def test_logging_utils_surface(self, capsys):
+        import logging
+
+        from mobray.logging_utils import (
+            BinningProgressLogger,
+            get_logger,
+            set_verbosity,
+        )
+
+        log = get_logger("mobray.test_shim")
+        assert get_logger("mobray.test_shim") is log  # no handler stacking
+        assert len(log.handlers) == 1
+        set_verbosity("DEBUG")
+        assert logging.getLogger("mobray.test_shim").level == logging.DEBUG
+        with BinningProgressLogger("unit", logger=log) as p:
+            p.update("step one")
+            p.update("step two")
+        assert p.steps_completed == 2
+        set_verbosity("WARNING")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="logging level"):
+            set_verbosity("NOPE")
+
+    def test_plot_package_aliases(self):
+        # the reference exposes plots under plot/, plot/mob_plot.py,
+        # plot/csd_gcm.py and the legacy plot/MOB_PLOT.py; all four
+        # module paths must import and agree on the same callables
+        import mobray.plot as p
+        import mobray.plot.MOB_PLOT as legacy
+        import mobray.plot.csd_gcm as csd
+        import mobray.plot.mob_plot as mp
+        import mobray.plotdata as data
+
+        assert p.plot_woe_bars is mp.plot_woe_bars is data.plot_woe_bars
+        assert legacy.plot_woe_bars is mp.plot_woe_bars
+        assert p.plot_gcm is csd.plot_gcm is data.plot_gcm
+        assert set(p.__all__) == set(mp.__all__) | set(csd.__all__)
+        assert set(legacy.__all__) == set(mp.__all__)
