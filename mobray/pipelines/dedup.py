@@ -462,19 +462,20 @@ def phash_neardup_pairs(
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ph = batch[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch[id_col].to_pylist()
-        out_chunk, out_id, out_sig = [], [], []
+        n = len(ph)
         u = ph.view(np.uint64)
+        chunks = np.empty((4, n), dtype=np.int64)
         for c in range(4):
-            chunk = ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_chunk.extend((c * 65536 + chunk).tolist())
-            out_id.extend(ids)
-            out_sig.extend(ph.tolist())
+            chunks[c] = (
+                c * 65536
+                + ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+        ids = batch[id_col].combine_chunks()
         return pa.table(
             {
-                "chunk_key": pa.array(out_chunk, pa.int64()),
-                "doc": out_id,
-                "sig": pa.array(out_sig, pa.int64()),
+                "chunk_key": pa.array(chunks.ravel(), pa.int64()),
+                "doc": pa.concat_arrays([ids] * 4),
+                "sig": pa.array(np.tile(ph, 4), pa.int64()),
             }
         )
 

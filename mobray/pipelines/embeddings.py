@@ -22,18 +22,19 @@ def group_centroids(ds, emb_col: str, group_col: str, normalize: bool = False):
     def partial(batch: pa.Table) -> pa.Table:
         emb = embedding_matrix(batch[emb_col])
         groups = batch[group_col].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"g": groups})
-        out_g, out_sum, out_n = [], [], []
-        for gval, idx in df.groupby("g", sort=False).groups.items():
-            rows = emb[np.asarray(idx)]
-            out_g.append(gval)
-            out_sum.append(rows.sum(axis=0).tolist())
-            out_n.append(len(rows))
+        # one segmented-sum over the batch's vectors: factorize group
+        # values, sort rows by code, reduceat at code boundaries
+        codes, uniques = pd.factorize(groups, sort=False)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        starts = np.flatnonzero(np.diff(sorted_codes, prepend=-1))
+        sums = np.add.reduceat(emb[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(codes)))
         return pa.table(
             {
-                "g": pa.array(out_g),
-                "vsum": pa.array(out_sum, pa.list_(pa.float64())),
-                "n": pa.array(out_n, pa.int64()),
+                "g": pa.array(np.asarray(uniques)[sorted_codes[starts]]),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
             }
         )
 

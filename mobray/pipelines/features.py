@@ -180,6 +180,7 @@ def image_feature_pipeline(
     session_gap: str = "30min",
     verify_decode: bool = False,
     decode_concurrency: int = 4,
+    shard_limit: Optional[int] = None,
 ):
     """Run the full feature job over a generated image table directory.
 
@@ -193,7 +194,7 @@ def image_feature_pipeline(
     any exchange, and the per-partition manifests carry the gate counts.
     One execution, one read of the payload, zero bytes in the shuffle.
     """
-    meta = read_image_table(data_dir, columns=META_COLS)
+    meta = read_image_table(data_dir, columns=META_COLS, shard_limit=shard_limit)
     feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
 
     model = fit_dataset(
@@ -209,7 +210,7 @@ def image_feature_pipeline(
     )
 
     if verify_decode:
-        src_ds = read_image_table(data_dir)  # includes bytes
+        src_ds = read_image_table(data_dir, shard_limit=shard_limit)  # includes bytes
         left_padded = src_ds.map_batches(
             PayloadStage,
             fn_constructor_kwargs={"model": model, "num_buckets": num_buckets},
@@ -259,6 +260,7 @@ def full_job(
     num_buckets: int = 64,
     decode_concurrency: int = 8,
     constraints: Optional[BinningConstraints] = None,
+    shard_limit: Optional[int] = None,
 ):
     """The complete north-star job: decode/verify every image on an actor
     pool (PSNR/phash gates) AND produce the binned + as-of-joined +
@@ -278,6 +280,7 @@ def full_job(
         out_dir=out_dir,
         verify_decode=True,
         decode_concurrency=decode_concurrency,
+        shard_limit=shard_limit,
     )
     fresh = metrics[~metrics["skipped"]]
     report = {

@@ -42,11 +42,9 @@ def knn_bruteforce(ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 
         sims = qm @ emb.T  # (n_queries, batch_rows)
         kk = min(k, sims.shape[1])
         top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[top[qi]].tolist())
-            out_sim.extend(sims[qi, top[qi]].tolist())
+        out_q = np.repeat(np.arange(sims.shape[0], dtype=np.int64), kk)
+        out_id = ids[top.ravel()]
+        out_sim = np.take_along_axis(sims, top, axis=1).ravel()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -256,7 +256,11 @@ def generate_image_table(
     return out_dir
 
 
-def read_image_table(out_dir: str, columns: Optional[List[str]] = None):
+def read_image_table(
+    out_dir: str,
+    columns: Optional[List[str]] = None,
+    shard_limit: Optional[int] = None,
+):
     """Ray Dataset over the generated image table, with column pruning.
 
     The ``bytes`` column dominates row width — every pipeline that does
@@ -267,18 +271,25 @@ def read_image_table(out_dir: str, columns: Optional[List[str]] = None):
     on-disk file size, which IS mostly image bytes) over-splits each file
     into many tiny blocks and per-task overhead dominates; pin one block
     per shard file in that case (measured 10-20x on the metadata path).
+
+    ``shard_limit``: read only the first N shard files (each shard is a
+    contiguous entity range) — the scaling bench uses this to size one
+    identical job to the measurement window without generating a second
+    table.
     """
     import glob
 
     import ray.data
 
     img_dir = os.path.join(out_dir, "images")
+    files = sorted(glob.glob(os.path.join(img_dir, "*.parquet")))
+    if shard_limit is not None:
+        files = files[:shard_limit]
+    source = files if shard_limit is not None else img_dir
     kwargs = {}
-    if columns is not None and "bytes" not in columns:
-        n_files = len(glob.glob(os.path.join(img_dir, "*.parquet")))
-        if n_files:
-            kwargs["override_num_blocks"] = n_files
-    return ray.data.read_parquet(img_dir, columns=columns, **kwargs)
+    if columns is not None and "bytes" not in columns and files:
+        kwargs["override_num_blocks"] = len(files)
+    return ray.data.read_parquet(source, columns=columns, **kwargs)
 
 
 def read_attrs_table(out_dir: str):
