@@ -615,6 +615,27 @@ def q_simhash_pairs_docs(sf_dir):
     return out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
 
+def q_simhash_clusters_docs(sf_dir):
+    """SimHash near-dup CLUSTERS via the Dataset-returning distributed
+    path: pairs stay in a Dataset and distributed connected components
+    assigns labels (output='clusters'; nothing collected on the driver
+    until this query's final to_pandas). Oracle = independent naive
+    simhash pairs + independent union-find (mobray/oracle/naive.py)."""
+    import ray.data
+
+    from mobray.pipelines.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = simhash_dedup(
+        ds, "text", "doc_id", hamming_radius=3, output="clusters"
+    ).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster": "int64"})
+    )
+
+
 def q_ngram_jaccard_docs(sf_dir):
     """Exact word-3-gram Jaccard pairs within fingerprint buckets."""
     import numpy as np
@@ -734,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "simhash_clusters_docs": q_simhash_clusters_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "embedding_neardup": q_embedding_neardup,
         "quality_docs": q_quality_docs,
@@ -822,6 +844,22 @@ def _simhash_oracle_sql() -> str:
             df, int_cols=("a", "b", "hamming"), order_by="a, b"
         )
     return _ORACLE_CACHE["simhash"]
+
+
+def _simhash_clusters_oracle_sql() -> str:
+    if "simhash_clusters" not in _ORACLE_CACHE:
+        import pandas as pd
+
+        from mobray.oracle.naive import _union_find_clusters, naive_simhash_pairs
+
+        texts, ids = _naive_docs(_SF01)
+        pairs = naive_simhash_pairs(texts, ids, hamming_radius=3)
+        cl = _union_find_clusters(list(zip(pairs["a"], pairs["b"])))
+        df = pd.DataFrame(sorted(cl.items()), columns=["doc_id", "cluster"])
+        _ORACLE_CACHE["simhash_clusters"] = _values_sql(
+            df, int_cols=("doc_id", "cluster"), order_by="doc_id"
+        )
+    return _ORACLE_CACHE["simhash_clusters"]
 
 
 def _ngram_oracle_sql() -> str:
@@ -1102,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "simhash_pairs_docs": _simhash_oracle_sql(),
+        "simhash_clusters_docs": _simhash_clusters_oracle_sql(),
         "ngram_jaccard_docs": _ngram_oracle_sql(),
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "binning_bins": _binning_bins_oracle_sql(),
