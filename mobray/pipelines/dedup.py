@@ -156,8 +156,9 @@ def minhash_lsh_dedup(
     a, b = minhash_params(num_perm)
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
         # shingling is row-wise by nature, but ALL hashing is batched:
         # one stable_hash64 over the batch's concatenated shingles, one
         # vectorized minhash pass (reduceat over per-doc offsets), one
@@ -171,15 +172,18 @@ def minhash_lsh_dedup(
         sigs = minhash_signatures(hashes, offsets, a, b)
         keys = band_keys_matrix(sigs, bands)  # (n_docs, bands)
         n = len(texts)
-        sig_bytes = [s.tobytes() for s in sigs]
+        # sigs ship as ONE fixed-size-binary buffer (row-major uint64
+        # bytes) + a take per band — no per-row .tobytes() Python objects
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(sigs.shape[1] * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())],
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
                 "band_key": pa.array(keys.ravel(), pa.int64()),
-                "doc": pa.array(np.repeat(np.asarray(ids, dtype=object), bands)),
-                "sig": pa.array(
-                    [sig_bytes[i] for i in range(n) for _ in range(bands)],
-                    pa.binary(),
-                ),
+                "doc": pc.take(batch[id_col].combine_chunks(), idx),
+                "sig": pc.take(sig_arr, idx),
             }
         )
 

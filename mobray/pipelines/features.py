@@ -293,12 +293,14 @@ def full_job(
     return metrics, model, report
 
 
-def decode_verification_report(data_dir: str, concurrency: int = 4) -> dict:
+def decode_verification_report(
+    data_dir: str, concurrency: int = 4, shard_limit: Optional[int] = None
+) -> dict:
     """Decode every image on an actor pool and aggregate the verification
     gates: decode success, phash match, PSNR >= 40 dB, caption equality
     (captions survive the read round-trip byte-identically by
     construction; asserted per-row in tests)."""
-    ds = read_image_table(data_dir)  # needs bytes: full read
+    ds = read_image_table(data_dir, shard_limit=shard_limit)  # needs bytes: full read
     verified = ds.map_batches(
         DecodeVerifyStage,
         batch_format="pyarrow",

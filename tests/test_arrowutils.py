@@ -85,3 +85,16 @@ class TestPayloadBatchSize:
         from mobray.pipelines.features import payload_batch_size
 
         assert payload_batch_size(str(tmp_path)) == 256
+
+
+class TestShardLimit:
+    def test_read_image_table_shard_subset(self, ray_session, tmp_path):
+        from mobray.sources.imagegen import generate_image_table, read_image_table
+
+        d = str(tmp_path / "imgs")
+        generate_image_table(d, n_entities=40, snapshots=2, seed=42, shards=4)
+        full = read_image_table(d, columns=["image_id"]).count()
+        half = read_image_table(d, columns=["image_id"], shard_limit=2).count()
+        assert full == 80
+        # shards hold contiguous entity ranges; 2 of 4 shards = half
+        assert half == 40
