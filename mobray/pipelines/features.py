@@ -204,7 +204,7 @@ def image_feature_pipeline(
         constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
     )
 
-    attrs = read_attrs_table(data_dir)
+    attrs = read_attrs_table(data_dir, shard_limit=shard_limit)
     post = make_window_post_fn(
         session_gap=session_gap, out_dir=out_dir, num_buckets=num_buckets
     )

@@ -292,10 +292,21 @@ def read_image_table(
     return ray.data.read_parquet(source, columns=columns, **kwargs)
 
 
-def read_attrs_table(out_dir: str):
+def read_attrs_table(out_dir: str, shard_limit: Optional[int] = None):
+    """Attrs shards are written per the SAME entity ranges as the image
+    shards (one attrs shard per image shard, identical ids), so
+    ``shard_limit`` prunes both sides of the as-of join consistently —
+    the co-partitioning that lets a subset job read zero unrelated
+    right-side rows."""
+    import glob
+
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(out_dir, "attrs"))
+    attr_dir = os.path.join(out_dir, "attrs")
+    if shard_limit is not None:
+        files = sorted(glob.glob(os.path.join(attr_dir, "*.parquet")))[:shard_limit]
+        return ray.data.read_parquet(files)
+    return ray.data.read_parquet(attr_dir)
 
 
 def mean_row_bytes(out_dir: str) -> float:
