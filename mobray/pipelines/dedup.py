@@ -9,8 +9,12 @@ function picks survivors / emits pairs.
 
 PARTITIONING ASSUMPTION (all ops): rows with equal keys land in one
 group. Near-dup ops additionally assume the candidate-pair set is sparse
-(<< corpus size), which banding/threshold parameters control; the final
-cluster merge (union-find) runs on the driver over pairs only.
+(<< corpus size), which banding/threshold parameters control. The final
+cluster merge defaults to a driver-side union-find over the (sparse)
+pair list, but every near-dup op also offers a Dataset-returning scale
+path — minhash via ``cluster_backend="distributed"``, the pair ops via
+``output="dataset"`` / ``output="clusters"`` (see ``_finalize_pairs``)
+— so nothing is forced through the driver at 100-TB pair volumes.
 
 GROUP GRANULARITY: keys (band/chunk/content hashes) are near-unique, so
 ``groupby(key).map_groups`` would invoke one Ray-level UDF per key —

@@ -98,3 +98,23 @@ class TestShardLimit:
         assert full == 80
         # shards hold contiguous entity ranges; 2 of 4 shards = half
         assert half == 40
+
+
+class TestBenchHelpers:
+    def test_shard_limit_fraction(self, tmp_path, monkeypatch):
+        import os
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import bench
+
+        img = tmp_path / "images"
+        os.makedirs(img)
+        for i in range(10):
+            (img / f"shard-{i:05d}.parquet").write_bytes(b"x")
+        monkeypatch.setenv("BENCH_SHARD_FRAC", "0.5")
+        assert bench._shard_limit(str(tmp_path)) == 5
+        monkeypatch.setenv("BENCH_SHARD_FRAC", "1")
+        assert bench._shard_limit(str(tmp_path)) is None
+        monkeypatch.setenv("BENCH_SHARD_FRAC", "0.01")
+        assert bench._shard_limit(str(tmp_path)) == 1
