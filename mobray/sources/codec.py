@@ -172,6 +172,17 @@ def _resize_bounds(h: int, w: int, out_h: int, out_w: int):
     return hit
 
 
+def _acc_dtype(h: int, w: int):
+    """Accumulator dtype for area sums of uint8: float32 represents
+    every integer below 2^24 exactly, and a full-image area sum is
+    bounded by h*w*255 — so for images up to ~256x256 the float32
+    pyramid is BIT-IDENTICAL to float64 (the division below promotes
+    the exact integer sums to float64 either way) while halving the
+    intermediate's memory stream, which is what limits per-core
+    throughput when many decode actors run."""
+    return np.float32 if h * w * 255 < (1 << 24) else np.float64
+
+
 def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-average resize of an (H, W, C) uint8 image to (out_h, out_w, C)
     — pure numpy (PIL unavailable), exact box-filter semantics via
@@ -179,26 +190,24 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     repeats source pixels (nearest-cell)."""
     h, w, c = pixels.shape
     rb, cb, area = _resize_bounds(h, w, out_h, out_w)
-    # dtype=float64 folds the uint8->float64 cast into the first
-    # reduction (no full-image float64 copy); an area mean of uint8 is
-    # provably in [0, 255] so no clip pass is needed before the cast
+    # cast folded into the first reduction (no full-image float copy);
+    # an area mean of uint8 is provably in [0, 255] so no clip needed
     sums = np.add.reduceat(
-        np.add.reduceat(pixels, rb, axis=0, dtype=np.float64), cb, axis=1
+        np.add.reduceat(pixels, rb, axis=0, dtype=_acc_dtype(h, w)), cb, axis=1
     )
-    return np.rint(sums / area).astype(np.uint8)
+    return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
 
 
 def resize_area_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(N, H, W, C) uint8 -> (N, out_h, out_w, C) uint8, bit-exact vs
-    per-image ``resize_area`` (same reduceat segment order per image)."""
+    per-image ``resize_area`` (same reduceat segment order per image,
+    same exact-integer accumulators)."""
     n, h, w, c = stack.shape
     rb, cb, area = _resize_bounds(h, w, out_h, out_w)
-    # see resize_area: cast folded into the first reduceat, clip provably
-    # a no-op on area means of uint8
     sums = np.add.reduceat(
-        np.add.reduceat(stack, rb, axis=1, dtype=np.float64), cb, axis=2
+        np.add.reduceat(stack, rb, axis=1, dtype=_acc_dtype(h, w)), cb, axis=2
     )
-    return np.rint(sums / area).astype(np.uint8)
+    return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> np.ndarray:

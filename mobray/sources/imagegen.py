@@ -197,8 +197,9 @@ def generate_image_table(
     img_dir = os.path.join(out_dir, "images")
     attr_dir = os.path.join(out_dir, "attrs")
     done_marker = os.path.join(out_dir, "_GEN_DONE")
-    # v2: schema gained ref_thumb -> stale v1 caches regenerate
-    marker_text = f"v2:{seed}:{n_entities}:{snapshots}"
+    # v3: phash moved to the integer-pyramid construction (stored hash
+    # values changed) -> stale v2 caches regenerate
+    marker_text = f"v3:{seed}:{n_entities}:{snapshots}"
     if os.path.exists(done_marker) and not overwrite:
         with open(done_marker) as f:
             if f.read().strip() == marker_text:
