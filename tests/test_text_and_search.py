@@ -188,3 +188,39 @@ class TestIvfRecall:
         bf = knn_bruteforce(ds, "embedding", "vec_id", qs, k=5)
         iv = knn_ivf(ds, "embedding", "vec_id", qs, k=5, n_centroids=5, n_probe=2)
         assert iv["id"].tolist() == bf["id"].tolist()
+
+
+class TestFingerprintReferenceLoop:
+    def test_batched_matches_per_doc_loop(self):
+        """The batched reduceat fingerprint must stay bit-identical to
+        the straightforward per-document construction it replaced."""
+        import numpy as np
+        import pandas as pd
+
+        from mobray.functions.hashing import stable_hash64
+
+        def per_doc(texts, window):
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts.fillna("")):
+                toks = t.lower().split()
+                if not toks:
+                    continue
+                th = stable_hash64(toks)
+                if len(th) <= window:
+                    out[i] = np.int64(th.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(th, window)
+                combined = w[:, 0].copy()
+                for k in range(1, window):
+                    combined = combined * np.uint64(1099511628211) + w[:, k]
+                out[i] = np.int64(combined.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            return out
+
+        rng = np.random.RandomState(7)
+        words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "lorem"]
+        texts = [" ".join(rng.choice(words, n)) for n in
+                 [0, 1, 7, 8, 9, 16, 100, 3, 0, 8, 40]]
+        texts += [None, "", "ONE two Three", "a " * 120]
+        s = pd.Series(texts)
+        for w in (1, 2, 8, 16):
+            np.testing.assert_array_equal(rolling_fingerprint(s, w), per_doc(s, w))
