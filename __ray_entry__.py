@@ -50,6 +50,16 @@ def _register_by_value() -> None:
 
 _register_by_value()
 
+def _read(path, columns=None, **kwargs):
+    """read_parquet with a metadata-free schema: testdata parquet carries
+    pandas schema metadata that makes pa.Schema unhashable, defeating Ray
+    Data's schema-dedup fast path (and spamming 'Failed to hash the
+    schemas' warnings from every task)."""
+    from mobray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kwargs)
+
+
 _SF001 = "/root/testdata/sf0.001"
 _SF01 = "/root/testdata/sf0.01"  # oracle_sql edge computation runs at sf0.01
 
@@ -68,7 +78,7 @@ def entry() -> Any:
     from mobray.pipelines.fit import fit_dataset, transform_dataset
     from mobray.pipelines.temporal import asof_join
 
-    events = ray.data.read_parquet(f"{_SF001}/events.parquet")
+    events = _read(f"{_SF001}/events.parquet")
 
     def add_target(batch):
         import pyarrow as pa
@@ -121,14 +131,14 @@ def entry() -> Any:
 def _events(sf_dir):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return _read(f"{sf_dir}/events.parquet")
 
 
 def _lineitem_xy(sf_dir):
     """lineitem with x=l_quantity, binary y = (l_returnflag == 'R')."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
     )
 
@@ -370,11 +380,11 @@ def q_orders_customer_join(sf_dir):
 
     from mobray.pipelines.relational import hash_join
 
-    orders = ray.data.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
                   batch_format="pyarrow")
-    customer = ray.data.read_parquet(
+    customer = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
                   batch_format="pyarrow")
@@ -393,11 +403,11 @@ def q_orders_semi_join(sf_dir):
 
     from mobray.pipelines.relational import semi_join
 
-    orders = ray.data.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey"]),
                   batch_format="pyarrow")
-    building = ray.data.read_parquet(
+    building = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
@@ -414,7 +424,7 @@ def q_top_orders(sf_dir):
     """Global sort + limit: top-10 orders by total price."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -429,7 +439,7 @@ def q_group_centroids(sf_dir):
 
     from mobray.pipelines.embeddings import group_centroids
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     out = group_centroids(ds, "embedding", "label")
     cents = np.array(out["centroid"].tolist(), dtype=float)
     import pandas as pd
@@ -464,7 +474,7 @@ def q_dedup_exact_docs(sf_dir):
 
     from mobray.pipelines.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds, "text", "doc_id")
     out = out.map_batches(
         lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow"
@@ -477,7 +487,7 @@ def q_text_tokens_docs(sf_dir):
 
     from mobray.stages.text import TextAnalysisStage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # instance (stateless tasks) rather than an actor pool: never reserves
     # CPUs away from the read stage regardless of the driver's session size
     out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
@@ -492,7 +502,7 @@ def q_filter_docs(sf_dir):
     import pyarrow.compute as pc
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
     )
     langs = pa.array(["en", "de"])
@@ -511,7 +521,7 @@ def q_lang_counts_docs(sf_dir):
     from ray.data.aggregate import Count
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     out = ds.groupby("lang").aggregate(Count(alias_name="n"))
     return out.to_pandas().sort_values("lang").reset_index(drop=True)
 
@@ -521,7 +531,7 @@ def q_orders_status_agg(sf_dir):
     from ray.data.aggregate import Count, Sum
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
     )
     out = (
@@ -555,7 +565,7 @@ def q_customer_nation_join(sf_dir):
         names[valid] = names_by_key[keys[valid]]
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    ds = _read(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     out = (
         ds.map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
@@ -570,7 +580,7 @@ def q_knn_cosine(sf_dir):
 
     from mobray.pipelines.simsearch import knn_bruteforce
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     q0 = np.array(ds.take(1)[0]["embedding"], dtype=float)
     out = knn_bruteforce(ds, "embedding", "vec_id", q0[None, :], k=5)
     out = out.rename(columns={"id": "vec_id"})
@@ -583,7 +593,7 @@ def q_knn_ivf(sf_dir):
 
     from mobray.pipelines.simsearch import knn_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     q0 = np.array(ds.take(1)[0]["embedding"], dtype=float)
     # n_probe=6/8: real cell pruning, yet exact top-5 on this table (the
     # random fixture has no cluster structure, so deeper pruning trades
@@ -600,7 +610,7 @@ def q_minhash_dedup_docs(sf_dir):
 
     from mobray.pipelines.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7)
     return out.astype({"doc_id": "int64", "cluster": "int64"})
 
@@ -610,7 +620,7 @@ def q_simhash_pairs_docs(sf_dir):
 
     from mobray.pipelines.dedup import simhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = simhash_dedup(ds, "text", "doc_id", hamming_radius=3)
     return out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
@@ -625,7 +635,7 @@ def q_simhash_clusters_docs(sf_dir):
 
     from mobray.pipelines.dedup import simhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = simhash_dedup(
         ds, "text", "doc_id", hamming_radius=3, output="clusters"
     ).to_pandas()
@@ -643,7 +653,7 @@ def q_ngram_jaccard_docs(sf_dir):
 
     from mobray.pipelines.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.2).to_pandas()
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out["jaccard"] = np.round(out["jaccard"], 6)
@@ -683,7 +693,7 @@ def q_embedding_neardup(sf_dir):
             ),
         }
     )
-    base = ray.data.read_parquet(
+    base = _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     un = base.union(ray.data.from_arrow(planted))
@@ -700,7 +710,7 @@ def q_quality_docs(sf_dir):
 
     from mobray.stages.text import TextAnalysisStage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
     out = out.map_batches(
         lambda t: t.select(["doc_id", "quality_score", "lang_pred"]),
@@ -717,7 +727,7 @@ def q_fingerprint_docs(sf_dir):
 
     from mobray.stages.text import TextAnalysisStage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TextAnalysisStage(), batch_format="pyarrow")
     out = out.map_batches(
         lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"

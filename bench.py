@@ -65,6 +65,12 @@ def ensure_image_table() -> str:
     return d
 
 
+def _bench_read(path, columns=None, **kwargs):
+    from mobray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kwargs)
+
+
 def timed(fn):
     t0 = time.perf_counter()
     out = fn()
@@ -115,7 +121,7 @@ def bench_fit_lineitem() -> float:
 
     from mobray.pipelines.fit import fit_dataset
 
-    ds = ray.data.read_parquet(
+    ds = _bench_read(
         f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
     )
     sec, _ = timed(lambda: fit_dataset(ds, "l_quantity", "l_extendedprice"))
@@ -133,7 +139,7 @@ def bench_transform_lineitem() -> float:
         f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
     )
     model = fit_binning(t["l_quantity"].to_numpy(), t["l_extendedprice"].to_numpy())
-    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_quantity"])
+    ds = _bench_read(f"{SF_DIR}/lineitem.parquet", columns=["l_quantity"])
 
     def run():
         out = transform_dataset(ds, model, "l_quantity", assign="interval")
@@ -149,7 +155,7 @@ def bench_asof_windows() -> float:
 
     from mobray.pipelines.temporal import asof_join
 
-    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = _bench_read(f"{SF_DIR}/events.parquet")
     left = ev.map_batches(
         lambda t: t.select(["event_id", "user_id", "ts", "value"]),
         batch_format="pyarrow",
@@ -194,7 +200,7 @@ def bench_minhash_docs() -> float:
     # repartition breaks ReadParquet->MapBatches operator fusion: the docs
     # table is one file = one read TASK, and a fused signature stage would
     # run serially no matter how many output blocks the read declares
-    ds = ray.data.read_parquet(
+    ds = _bench_read(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     ).repartition(NUM_CPUS * 2)
     sec, _ = timed(lambda: minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8))
@@ -207,7 +213,7 @@ def bench_knn() -> float:
 
     from mobray.pipelines.simsearch import knn_bruteforce
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ds = _bench_read(f"{SF_DIR}/embeddings.parquet")
     rows = ds.take(16)
     queries = np.array([r["embedding"] for r in rows], dtype=float)
     sec, _ = timed(lambda: knn_bruteforce(ds, "embedding", "vec_id", queries, k=10))

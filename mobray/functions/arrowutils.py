@@ -39,3 +39,48 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
         if len(widths) and not (widths == dim).all():
             raise ValueError("ragged list column cannot form a matrix")
     return np.ascontiguousarray(vals.reshape(n, dim)).astype(dtype, copy=False)
+
+
+def binary_views(col) -> list:
+    """Binary/large_binary column -> list of zero-copy memoryviews over
+    the Arrow data buffer (None for null slots).
+
+    ``to_pylist()`` materializes every payload as a Python ``bytes``
+    object — for an image column that is one heap copy of the whole
+    batch. A memoryview sliced from the value buffer is a pointer pair;
+    the codecs (``zlib``, ``np.frombuffer``, ``struct.unpack``) all
+    consume the buffer protocol directly."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        odt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        bufs = ch.buffers()
+        # buffers() ignores the slice offset; index with it explicitly
+        offs = np.frombuffer(bufs[1], dtype=odt, count=ch.offset + len(ch) + 1)
+        # cast to unsigned 'B': Arrow buffers expose signed 'b', whose
+        # elements compare as negative ints against bytes literals
+        data = (
+            memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
+        )
+        if ch.null_count:
+            valid = ch.is_valid().to_numpy(zero_copy_only=False)
+        else:
+            valid = None
+        for i in range(len(ch)):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                lo, hi = offs[ch.offset + i], offs[ch.offset + i + 1]
+                out.append(data[lo:hi])
+    return out
+
+
+def table_from_pandas(df, preserve_index: bool = False) -> "pa.Table":
+    """``pa.Table.from_pandas`` without the pandas schema-metadata blob —
+    that blob makes the schema unhashable and defeats Ray Data's
+    schema-dedup fast path (see mobray.sources.readers)."""
+    return pa.Table.from_pandas(
+        df, preserve_index=preserve_index
+    ).replace_schema_metadata(None)

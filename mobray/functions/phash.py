@@ -49,19 +49,25 @@ def phash64(pixels: np.ndarray) -> int:
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """(N, H, W, 3) uint8 -> (N,) int64 phash.
 
-    Integer pyramid: channel-sum the raw uint8 stack into an int32
-    grayscale (exact: full-image totals are bounded by h*w*765 < 2^31),
-    reduceat rows then columns — every cell sum is an exact integer and
-    the only float math is the final 64-cell mean/threshold. The
-    previous construction materialized a full (N, H, W) float64
-    grayscale, the single largest memory stream in the decode stage
-    (8x the pixel bytes vs 4x here, and ~25% slower); streaming
-    bandwidth is what limits per-core throughput when many decode
-    actors run."""
+    Integer pyramid: channel-sum the raw uint8 stack into a uint16
+    grayscale (exact: a per-pixel channel total is bounded by
+    3*255 = 765 < 2^16), then reduceat rows with an EXPLICIT int64
+    accumulator (a full 8x8 cell sum is bounded by
+    ceil(h/8)*ceil(w/8)*765, which exceeds 2^31 already at ~1700 px
+    images — the accumulator must not be left to numpy's
+    platform-default int promotion), then columns (int64 input stays
+    int64). Every cell sum is an exact integer and the only float math
+    is the final 64-cell mean/threshold. The (N, H, W) grayscale is the
+    single largest memory stream in the decode stage: uint16 is 2 bytes
+    per pixel vs 4 for the previous int32 (and 8 for the original
+    float64); streaming bandwidth is what limits per-core throughput
+    when many decode actors run."""
     n, h, w, _ = stack.shape
     rb, cb, area = _bounds_8x8(h, w)
-    g = stack.sum(axis=3, dtype=np.int32)
-    sums = np.add.reduceat(np.add.reduceat(g, rb, axis=1), cb, axis=2)
+    g = stack.sum(axis=3, dtype=np.uint16)
+    sums = np.add.reduceat(
+        np.add.reduceat(g, rb, axis=1, dtype=np.int64), cb, axis=2
+    )
     cells = sums.reshape(n, 64) / (3.0 * area.reshape(64))
     bits = cells > cells.mean(axis=1)[:, None]
     packed = np.packbits(bits.astype(np.uint8), axis=1)  # (n, 8) big-endian

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from mobray.functions.arrowutils import embedding_matrix
+from mobray.functions.arrowutils import embedding_matrix, table_from_pandas
 from mobray.functions.phash import hamming64
 from mobray.functions.hashing import (
     band_keys_matrix,
@@ -96,7 +96,7 @@ def exact_dedup(ds, col: str, id_col: str, keep: str = "min"):
         out["n_dups"] = g.groupby("__key").size().reindex(out["__key"]).to_numpy()
         # Arrow out: empty pandas blocks would bypass downstream
         # map_batches conversion (see _per_bucket)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             out.drop(columns=["__key", "__dbkt"]), preserve_index=False
         )
 
@@ -220,8 +220,8 @@ def minhash_lsh_dedup(
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
             _pairs_in_group(docs, sigs, pairs)
         if not pairs:
-            return pa.Table.from_pandas(empty, preserve_index=False)
-        return pa.Table.from_pandas(
+            return table_from_pandas(empty)
+        return table_from_pandas(
             pd.DataFrame(pairs, columns=["a", "b", "est_jaccard"]),
             preserve_index=False,
         )
@@ -443,8 +443,8 @@ def ngram_jaccard_pairs(
                         lo, hi = sorted((docs[i], docs[j]))
                         pairs.append((lo, hi, sim))
         if not pairs:
-            return pa.Table.from_pandas(empty, preserve_index=False)
-        return pa.Table.from_pandas(
+            return table_from_pandas(empty)
+        return table_from_pandas(
             pd.DataFrame(pairs, columns=["a", "b", "jaccard"]),
             preserve_index=False,
         )

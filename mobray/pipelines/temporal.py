@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mobray.functions.arrowutils import table_from_pandas
+
 _HASH_KEY = "0123456789123456"  # fixed pandas hash key -> stable across workers
 BUCKET_COL = "__bucket"  # prefix; the actual column encodes the key
 
@@ -164,7 +166,7 @@ def _per_bucket(ds, key: str, num_buckets, fn):
         # block from an empty bucket would survive into unions with
         # arrow datasets (block-type mismatch) and print schema-less
         # "new schema:" warnings
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return bucketed.groupby(bc).map_groups(wrapped, batch_format="pandas")
 
@@ -498,7 +500,7 @@ def hopping_window(
         )
         g = df.groupby([key, "window_start"], sort=False)["v"]
         out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby([key, "window_start"]).aggregate(
@@ -637,7 +639,7 @@ def tumbling_window(
         df = pd.DataFrame({key: keys, "window_start": wstart, "v": vals})
         g = df.groupby([key, "window_start"], sort=False)["v"]
         out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby([key, "window_start"]).aggregate(

@@ -163,24 +163,25 @@ def _resize_bounds(h: int, w: int, out_h: int, out_w: int):
         # upscaling duplicates cell boundaries; reduceat then yields the
         # single source pixel for the zero-width cell, so clamping the
         # count to 1 gives exact nearest-cell repetition (not inf/255)
-        rcounts = np.maximum(np.diff(np.append(rb, h)), 1).astype(np.float64)
-        ccounts = np.maximum(np.diff(np.append(cb, w)), 1).astype(np.float64)
-        area = np.outer(rcounts, ccounts)[:, :, None]
+        rcounts = np.maximum(np.diff(np.append(rb, h)), 1)
+        ccounts = np.maximum(np.diff(np.append(cb, w)), 1)
+        area = np.outer(
+            rcounts.astype(np.float64), ccounts.astype(np.float64)
+        )[:, :, None]
+        # Row-stage accumulator: the (out_h, W, C) row-sum intermediate is
+        # the dominant memory stream of a resize (W is still full width).
+        # A row cell sums at most max(rcounts) uint8 values, so uint16 is
+        # EXACT whenever 255 * max_rcount < 2^16 (any downscale ratio up
+        # to 257x); int32 covers every ratio numpy can index. The column
+        # stage then reduces into an explicit int64 (full-cell sums are
+        # bounded by 255*h*w, and the output is tiny: out_h x out_w x C).
+        # All sums stay exact integers, so the final float64 division is
+        # bit-identical to the old float accumulator pyramid.
+        acc = np.uint16 if int(rcounts.max()) * 255 < (1 << 16) else np.int32
         if len(_RESIZE_BOUNDS) >= 1024:
             _RESIZE_BOUNDS.clear()
-        hit = _RESIZE_BOUNDS[key] = (rb, cb, area)
+        hit = _RESIZE_BOUNDS[key] = (rb, cb, area, acc)
     return hit
-
-
-def _acc_dtype(h: int, w: int):
-    """Accumulator dtype for area sums of uint8: float32 represents
-    every integer below 2^24 exactly, and a full-image area sum is
-    bounded by h*w*255 — so for images up to ~256x256 the float32
-    pyramid is BIT-IDENTICAL to float64 (the division below promotes
-    the exact integer sums to float64 either way) while halving the
-    intermediate's memory stream, which is what limits per-core
-    throughput when many decode actors run."""
-    return np.float32 if h * w * 255 < (1 << 24) else np.float64
 
 
 def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -189,11 +190,12 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     reduceat on integer cell boundaries. Downscale-oriented; upscaling
     repeats source pixels (nearest-cell)."""
     h, w, c = pixels.shape
-    rb, cb, area = _resize_bounds(h, w, out_h, out_w)
+    rb, cb, area, acc = _resize_bounds(h, w, out_h, out_w)
     # cast folded into the first reduction (no full-image float copy);
     # an area mean of uint8 is provably in [0, 255] so no clip needed
     sums = np.add.reduceat(
-        np.add.reduceat(pixels, rb, axis=0, dtype=_acc_dtype(h, w)), cb, axis=1
+        np.add.reduceat(pixels, rb, axis=0, dtype=acc), cb, axis=1,
+        dtype=np.int64,
     )
     return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
 
@@ -203,9 +205,10 @@ def resize_area_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     per-image ``resize_area`` (same reduceat segment order per image,
     same exact-integer accumulators)."""
     n, h, w, c = stack.shape
-    rb, cb, area = _resize_bounds(h, w, out_h, out_w)
+    rb, cb, area, acc = _resize_bounds(h, w, out_h, out_w)
     sums = np.add.reduceat(
-        np.add.reduceat(stack, rb, axis=1, dtype=_acc_dtype(h, w)), cb, axis=2
+        np.add.reduceat(stack, rb, axis=1, dtype=acc), cb, axis=2,
+        dtype=np.int64,
     )
     return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
 

@@ -1,0 +1,38 @@
+"""Parquet -> Ray Dataset readers with hashable (metadata-free) schemas.
+
+Parquet files written through pandas carry a ``pandas`` schema-metadata
+blob whose value makes ``hash(pa.Schema)`` raise (``unhashable type:
+'dict'``). Ray Data hashes schemas to deduplicate them when unifying
+block metadata; an unhashable schema silently defeats that fast path and
+logs a ``Failed to hash the schemas (for deduplication)`` warning from
+every map task and reduce. Passing the footer schema with
+``remove_metadata()`` to ``read_parquet`` gives every downstream block a
+clean, hashable schema at zero cost.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+
+def read_parquet_clean(
+    path, *, columns: Optional[List[str]] = None, **kwargs
+):
+    """``ray.data.read_parquet`` with the file's schema stripped of
+    metadata (and projected to ``columns`` — read_parquet requires the
+    override schema to match the projection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(first):
+        shards = sorted(glob.glob(os.path.join(first, "*.parquet")))
+        if shards:
+            first = shards[0]
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)

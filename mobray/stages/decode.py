@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from mobray.functions.arrowutils import binary_views
 from mobray.functions.phash import phash64, phash64_batch, popcount64
 from mobray.sources.codec import (
     decode_image,
@@ -68,13 +69,15 @@ class DecodeVerifyStage:
         self.thumb_size = thumb_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        # memoryviews over the Arrow value buffer, not to_pylist(): no
+        # per-image Python bytes copy of the whole payload batch
+        blobs = binary_views(batch["bytes"])
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()
         stored_ph = batch["phash"].to_numpy(zero_copy_only=False)
         refs = (
-            batch["ref_thumb"].to_pylist()
+            binary_views(batch["ref_thumb"])
             if "ref_thumb" in batch.schema.names
             else None
         )
@@ -168,7 +171,7 @@ class ImageResizeStage:
         self._resize = resize_area
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()

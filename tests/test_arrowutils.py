@@ -118,3 +118,41 @@ class TestBenchHelpers:
         assert bench._shard_limit(str(tmp_path)) is None
         monkeypatch.setenv("BENCH_SHARD_FRAC", "0.01")
         assert bench._shard_limit(str(tmp_path)) == 1
+
+
+class TestBinaryViews:
+    def test_matches_pylist(self):
+        from mobray.functions.arrowutils import binary_views
+
+        vals = [b"\x89PNG\r\n", b"", b"abc", bytes(range(256))]
+        arr = pa.array(vals, pa.binary())
+        got = binary_views(arr)
+        assert [bytes(v) for v in got] == vals
+        # content-comparable against bytes (the PNG signature check)
+        assert got[0][:4] == b"\x89PNG"
+
+    def test_nulls_slices_chunks_large(self):
+        from mobray.functions.arrowutils import binary_views
+
+        vals = [b"aa", None, b"bbb", b"", b"cc\xff"]
+        for typ in (pa.binary(), pa.large_binary()):
+            arr = pa.array(vals, typ)
+            got = binary_views(arr)
+            assert [None if v is None else bytes(v) for v in got] == vals
+            sl = arr.slice(1, 3)
+            got = binary_views(sl)
+            assert [None if v is None else bytes(v) for v in got] == vals[1:4]
+            ch = pa.chunked_array([arr.slice(0, 2), arr.slice(2)])
+            got = binary_views(ch)
+            assert [None if v is None else bytes(v) for v in got] == vals
+
+    def test_numpy_and_zlib_consume_views(self):
+        import zlib
+
+        from mobray.functions.arrowutils import binary_views
+
+        payload = np.arange(64, dtype=np.uint8).tobytes()
+        arr = pa.array([payload, zlib.compress(payload)], pa.binary())
+        v0, v1 = binary_views(arr)
+        assert np.array_equal(np.frombuffer(v0, dtype=np.uint8), np.arange(64))
+        assert zlib.decompress(v1) == payload
