@@ -555,7 +555,9 @@ def q_customer_nation_join(sf_dir):
     # (the general small-side pattern is pd.Series(keys).map(dict))
     import numpy as np
 
-    names_by_key = np.full(int(nation["n_nationkey"].max()) + 1, None, dtype=object)
+    # size-0 lookup when the small side is empty (max() would raise)
+    top_key = int(nation["n_nationkey"].max()) + 1 if len(nation) else 0
+    names_by_key = np.full(top_key, None, dtype=object)
     names_by_key[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
 
     def add_nation(batch: "pa.Table") -> "pa.Table":

@@ -314,6 +314,12 @@ def main() -> None:
         "sf": _sf_value(),
         "num_cpus": NUM_CPUS,
     }
+    # a subset-of-shards run must be visibly distinguishable from a
+    # full-table headline (scaling() already records the marker)
+    shard_frac = float(os.environ.get("BENCH_SHARD_FRAC", "1") or 1)
+    if shard_frac < 1:
+        result["shard_frac"] = shard_frac
+        result["metric"] = "image_feature_pipeline_sec_partial"
     print(json.dumps(result))
     ray.shutdown()
 

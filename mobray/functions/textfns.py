@@ -27,6 +27,21 @@ STOPWORDS: Dict[str, set] = {
     "fr": {"le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "que", "pour", "dans"},
 }
 
+# ONE compiled alternation per language: counting matches of
+# \b(?:w1|w2|...)\b equals the sum of per-word \b-bounded counts (the
+# words are distinct whole tokens, and a shorter alternative that fails
+# its trailing \b backtracks into the longer one — e.g. 'de' vs 'des'),
+# but scans the text once per LANGUAGE instead of once per word
+# (4 regex passes per batch instead of ~57).
+_STOP_RES: Dict[str, "re.Pattern"] = {
+    lang: re.compile(
+        r"\b(?:"
+        + "|".join(sorted((re.escape(w) for w in words), key=len, reverse=True))
+        + r")\b"
+    )
+    for lang, words in STOPWORDS.items()
+}
+
 
 def ws_token_count(texts: pd.Series) -> np.ndarray:
     """Whitespace token count (vectorized)."""
@@ -54,10 +69,7 @@ def quality_metrics(texts: pd.Series) -> Dict[str, np.ndarray]:
     mean_word_len = (n_chars - (n_tokens - 1).clip(min=0)) / safe_tokens
 
     lower = texts.str.lower()
-    en_stop = sum(
-        lower.str.count(rf"\b{re.escape(w)}\b").fillna(0).to_numpy(dtype=np.int64)
-        for w in STOPWORDS["en"]
-    )
+    en_stop = lower.str.count(_STOP_RES["en"]).fillna(0).to_numpy(dtype=np.int64)
     stop_ratio = en_stop / safe_tokens
 
     score = (
@@ -79,17 +91,15 @@ def quality_metrics(texts: pd.Series) -> Dict[str, np.ndarray]:
 
 def detect_language(texts: pd.Series) -> np.ndarray:
     """Stopword-frequency language ID over the STOPWORDS tables; 'und'
-    (undetermined) when no language scores above zero. A per-batch
-    vectorized count per (language, marker word)."""
+    (undetermined) when no language scores above zero. One vectorized
+    alternation-regex count per LANGUAGE (see ``_STOP_RES``) — count
+    totals are identical to the old per-word sum."""
     lower = texts.str.lower()
     n_tokens = np.maximum(ws_token_count(texts), 1)
     langs = list(STOPWORDS)
     scores = np.zeros((len(texts), len(langs)))
     for j, lang in enumerate(langs):
-        hits = sum(
-            lower.str.count(rf"\b{re.escape(w)}\b").fillna(0).to_numpy(dtype=np.int64)
-            for w in STOPWORDS[lang]
-        )
+        hits = lower.str.count(_STOP_RES[lang]).fillna(0).to_numpy(dtype=np.int64)
         scores[:, j] = hits / n_tokens
     best = scores.argmax(axis=1)
     out = np.array([langs[b] for b in best], dtype=object)

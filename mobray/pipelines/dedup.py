@@ -517,7 +517,15 @@ def embedding_neardup_pairs(
     1 - (1 - (1 - acos(c)/pi)^n_planes)^n_tables — multiple small
     tables beat one large table because a single flipped sign only
     kills one table. Rows explode x n_tables in the shuffle, but each
-    row is just (bucket, id, vector)."""
+    row is just (bucket, id, vector) — and the replicated vector copy is
+    downcast to float32 when the source is wider (the cosine verify is
+    threshold-based, so the ~1e-7 relative rounding is immaterial; at
+    n_tables=4 the cast halves the exchange's dominant byte stream).
+    The alternative of shipping (bucket, id) only and hash-joining
+    vectors back for the verify trades this replication for TWO extra
+    all-to-alls over the full embedding table plus a candidate-pair
+    exchange that is quadratic in bucket size — worse whenever pairs
+    are sparse, which is the operating regime of a near-dup pass."""
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
@@ -534,15 +542,19 @@ def embedding_neardup_pairs(
             key = signs @ (1 << np.arange(n_planes, dtype=np.int64))
             keys[t] = key + (t << np.int64(48))  # disjoint per-table key space
         ids = batch[id_col]
+        emb_arr = batch[emb_col].combine_chunks()
+        t = emb_arr.type
+        if pa.types.is_fixed_size_list(t) and t.value_type == pa.float64():
+            emb_arr = emb_arr.cast(pa.list_(pa.float32(), t.list_size))
+        elif pa.types.is_list(t) and t.value_type == pa.float64():
+            emb_arr = emb_arr.cast(pa.list_(pa.float32()))
         out = pa.table(
             {
                 "bucket": pa.array(keys.ravel(), pa.int64()),
                 "doc": pa.concat_arrays(
                     [ids.combine_chunks()] * n_tables
                 ),
-                "emb": pa.concat_arrays(
-                    [batch[emb_col].combine_chunks()] * n_tables
-                ),
+                "emb": pa.concat_arrays([emb_arr] * n_tables),
             }
         )
         return out

@@ -59,21 +59,9 @@ def collect_aggregates(
 
     edges = None
     if max_distinct_x is not None:
-        # seeded RANDOM sample — a limit() would read only the first
-        # blocks, and on storage sorted by x the quantile edges would
-        # cover just the low tail (same bias class as IVF centroid
-        # training; see simsearch.train_centroids)
-        xs = ds.select_columns([x])
-        n = xs.count()
-        if n > prebucket_sample_rows:
-            frac = min(1.0, 1.5 * prebucket_sample_rows / n)
-            xs = xs.random_sample(frac, seed=7).limit(prebucket_sample_rows)
-        sample = xs.to_pandas()[x].dropna().to_numpy(dtype=float)
-        if exclude_values:
-            sample = sample[~np.isin(sample, list(exclude_values))]
-        if len(sample):
-            qs = np.linspace(0.0, 1.0, max_distinct_x + 1)[:-1]
-            edges = np.unique(np.quantile(sample, qs))
+        edges = _prebucket_edges(
+            ds, x, max_distinct_x, exclude_values, prebucket_sample_rows
+        )
 
     partials = ds.select_columns([x, y]).map_batches(
         make_partial_agg(x, y, exclude_values, prebucket_edges=edges),
@@ -90,6 +78,63 @@ def collect_aggregates(
     )
     small = agg.to_pandas()  # rows = distinct x (+ a few specials): small
     return _rows_to_aggregates(small)
+
+
+def _prebucket_edges(
+    ds, x: str, max_distinct_x: int, exclude_values, sample_rows: int
+):
+    """Quantile edges for the high-cardinality prebucket, from ONE pass:
+    each batch emits its own evenly-spaced order statistics (a per-batch
+    quantile sketch of <= ``sketch_size`` values, each weighted by the
+    batch rows it represents) and the driver merges them into weighted
+    global quantiles.
+
+    This replaces a count() pass + a seeded random_sample pass — on a
+    DERIVED dataset (e.g. fit over a map_batches feature stage) each of
+    those re-executed the whole upstream pipeline. One sketch pass sees
+    every block, so sorted-by-x storage still yields full-range edges
+    (the bias a limit() sample would reintroduce; see the
+    TestPrebucketSampleBias regression)."""
+    import pyarrow as pa
+
+    # total driver-side rows = sketch_size x n_batches; 512 keeps the
+    # collect tiny while bounding each batch's quantile error at ~0.2%
+    sketch_size = max(64, min(1024, sample_rows // 64 or 64))
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        v = t[x].to_numpy(zero_copy_only=False).astype(float)
+        v = v[~np.isnan(v)]
+        if exclude_values:
+            v = v[~np.isin(v, list(exclude_values))]
+        if len(v) == 0:
+            return pa.table(
+                {"q": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        v.sort()
+        k = min(sketch_size, len(v))
+        pos = ((np.arange(k) + 0.5) * len(v) / k).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(v[pos], pa.float64()),
+                "w": pa.array(np.full(k, len(v) / k), pa.float64()),
+            }
+        )
+
+    sk = (
+        ds.select_columns([x])
+        .map_batches(batch_sketch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(sk) == 0:
+        return None
+    vals = sk["q"].to_numpy()
+    wts = sk["w"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    qs = np.linspace(0.0, 1.0, max_distinct_x + 1)[:-1]
+    idx = np.searchsorted(cum, qs * cum[-1], side="left")
+    return np.unique(vals[np.minimum(idx, len(vals) - 1)])
 
 
 def fit_dataset(

@@ -27,9 +27,47 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def knn_bruteforce(ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 10):
+def _finalize_topk(cands_ds, k: int, output: str):
+    """Merge per-batch candidate top-k rows into the global per-query
+    top-k — the same escape-hatch convention as the near-dup family:
+
+    - 'pandas' (default): tiny driver-side merge of k x n_batches rows.
+      Right for a handful of queries.
+    - 'dataset': lazy Dataset (query_id, rank, id, cosine) via a
+      per-query groupby — nothing lands on the driver, for many-query
+      batch workloads where even k x n_batches x n_queries rows is a
+      shuffle-sized result.
+    """
+    if output == "dataset":
+        from mobray.functions.arrowutils import table_from_pandas
+
+        def topk_group(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values("cosine", ascending=False).head(k).copy()
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return table_from_pandas(g[["query_id", "rank", "id", "cosine"]])
+
+        return cands_ds.groupby("query_id").map_groups(
+            topk_group, batch_format="pandas"
+        )
+    if output != "pandas":
+        raise ValueError(f"unknown output mode {output!r}")
+    cands = cands_ds.to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"query_id": [], "rank": [], "id": [], "cosine": []})
+    cands = cands.sort_values(["query_id", "cosine"], ascending=[True, False])
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "id", "cosine"]]
+
+
+def knn_bruteforce(
+    ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 10, *,
+    output: str = "pandas",
+):
     """Exact cosine top-k for each query row. Returns a pandas DataFrame
-    (query_id, rank, id, cosine) — (n_queries x k) rows."""
+    (query_id, rank, id, cosine) — (n_queries x k) rows — or a lazy
+    Dataset of the same schema under ``output='dataset'``
+    (see ``_finalize_topk``)."""
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -53,11 +91,9 @@ def knn_bruteforce(ds, emb_col: str, id_col: str, queries: np.ndarray, k: int = 
             }
         )
 
-    cands = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
-    cands = cands.sort_values(["query_id", "cosine"], ascending=[True, False])
-    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "id", "cosine"]]
+    return _finalize_topk(
+        ds.map_batches(batch_topk, batch_format="pyarrow"), k, output
+    )
 
 
 def train_centroids(
@@ -98,9 +134,11 @@ def knn_ivf(
     centroids: Optional[np.ndarray] = None,
     n_centroids: int = 16,
     n_probe: int = 4,
+    output: str = "pandas",
 ):
     """IVF-style ANN: scan only rows assigned to the n_probe centroids
-    nearest each query. Returns the same schema as knn_bruteforce."""
+    nearest each query. Returns the same schema as knn_bruteforce
+    (``output='dataset'`` for the driver-free merge)."""
     import ray
 
     if centroids is None:
@@ -136,10 +174,6 @@ def knn_ivf(
             }
         )
 
-    cands = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
-    if len(cands) == 0:
-        return pd.DataFrame({"query_id": [], "rank": [], "id": [], "cosine": []})
-    cands = cands.sort_values(["query_id", "cosine"], ascending=[True, False])
-    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "id", "cosine"]]
+    return _finalize_topk(
+        ds.map_batches(batch_topk, batch_format="pyarrow"), k, output
+    )

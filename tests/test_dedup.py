@@ -498,3 +498,28 @@ class TestPairOutputModes:
     def test_unknown_output_mode_raises(self, ray_session):
         with pytest.raises(ValueError, match="output mode"):
             simhash_dedup(self._ds(), "text", "doc_id", output="bogus")
+
+    def test_float64_input_shuffles_float32(self, ray_session):
+        """A float64 source embedding column must be downcast to float32
+        in the replicated (bucket, id, emb) exchange rows — the verify is
+        threshold-based, and the cast halves the dominant shuffle bytes —
+        while still finding the planted pair."""
+        import pyarrow as pa
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        base = rng.normal(size=(20, 16))  # float64
+        emb = base.copy()
+        emb[7] = base[3] + rng.normal(scale=0.01, size=16)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        out = embedding_neardup_pairs(
+            ds, "embedding", "vec_id", threshold=0.95, n_planes=8,
+            output="dataset",
+        )
+        assert set(zip(*out.to_pandas()[["a", "b"]].to_numpy().T)) == {(3, 7)}

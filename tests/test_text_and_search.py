@@ -224,3 +224,74 @@ class TestFingerprintReferenceLoop:
         s = pd.Series(texts)
         for w in (1, 2, 8, 16):
             np.testing.assert_array_equal(rolling_fingerprint(s, w), per_doc(s, w))
+
+
+class TestStopwordAlternation:
+    def test_alternation_equals_per_word_sum(self):
+        """One \\b(?:w1|w2|...)\\b scan per language must count exactly
+        what the per-word \\b-bounded counts sum to — including the
+        prefix-word cases (de/des, la/las) where the shorter alternative
+        fails its trailing boundary and backtracks into the longer one."""
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from mobray.functions.textfns import STOPWORDS, _STOP_RES
+
+        texts = pd.Series(
+            [
+                "des de la las los el un una es",
+                "the theory and android of to at",
+                "für den nicht ein eine einer",
+                "de des du dans le les",
+                "",
+                None,
+                "LA DE Des THE",  # caller lowercases; raw stays uncounted
+            ]
+        )
+        lower = texts.str.lower()
+        for lang, words in STOPWORDS.items():
+            new = lower.str.count(_STOP_RES[lang]).fillna(0).to_numpy(np.int64)
+            old = sum(
+                lower.str.count(rf"\b{re.escape(w)}\b")
+                .fillna(0)
+                .to_numpy(np.int64)
+                for w in words
+            )
+            assert np.array_equal(new, old), lang
+
+
+class TestKnnDatasetOutput:
+    def test_dataset_mode_matches_pandas(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.simsearch import knn_bruteforce, knn_ivf
+
+        rng = np.random.RandomState(11)
+        emb = rng.normal(size=(200, 12))
+        df = pd.DataFrame({"vec_id": range(200), "embedding": list(emb)})
+        ds = ray.data.from_pandas(df).repartition(4)
+        queries = emb[:3]
+        want = knn_bruteforce(ds, "embedding", "vec_id", queries, k=5)
+        got = (
+            knn_bruteforce(ds, "embedding", "vec_id", queries, k=5,
+                           output="dataset")
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want
+        )
+        got_ivf = (
+            knn_ivf(ds, "embedding", "vec_id", queries, k=5, n_centroids=4,
+                    n_probe=4, output="dataset")
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        # n_probe == n_centroids -> exhaustive -> equals brute force
+        pd.testing.assert_frame_equal(
+            got_ivf.astype(want.dtypes.to_dict()), want
+        )
