@@ -706,6 +706,106 @@ def q_embedding_neardup(sf_dir):
     return pairs[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
 
+# phash near-dup fixture: a synthetic int64 hash column derived
+# deterministically from doc_id (pd.util.hash_array on the int64 ids —
+# process-stable, no PYTHONHASHSEED), with _PH_PLANT_K planted near-hashes:
+# doc_id < K re-emitted as doc_id+1000000 with THREE bits flipped
+# (_PH_FLIP_MASK puts one bit in each of three distinct 16-bit chunks, so
+# the radius-3 pigeonhole LSH must recover every planted pair). Natural
+# radius-3 collisions between 64-bit hashes are ~1e-13 per pair. The SQL
+# oracle gets the hash column as a VALUES input and does the pair-finding
+# itself: brute-force popcount(xor) over the self-join.
+_PH_PLANT_K = 20
+_PH_FLIP_MASK = (1 << 1) | (1 << 17) | (1 << 33)
+
+
+def _ph_hash_ids(ids) -> "Any":
+    import numpy as np
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(ids, dtype=np.int64)).view("int64")
+
+
+def q_phash_neardup_docs(sf_dir):
+    """Image-style perceptual-hash near-dup pairs (16-bit-chunk LSH +
+    bucketed Hamming verify) over a synthesized int64 hash column; see
+    the fixture comment above. mobray/pipelines/dedup.py:458-493."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mobray.pipelines.dedup import phash_neardup_pairs
+
+    base = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_hash(t: "pa.Table") -> "pa.Table":
+        # self-contained (workers cannot import __ray_entry__): must stay
+        # identical to _ph_hash_ids
+        import numpy as _np
+        import pandas as _pd
+        import pyarrow as _pa
+
+        ids_ = _np.asarray(
+            t["doc_id"].to_numpy(zero_copy_only=False), dtype=_np.int64
+        )
+        h = _pd.util.hash_array(ids_).view("int64")
+        return t.append_column("phash", _pa.array(h, _pa.int64()))
+
+    hashed = base.map_batches(add_hash, batch_format="pyarrow")
+
+    ids = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    m = ids < _PH_PLANT_K
+    planted = pa.table(
+        {
+            "doc_id": pa.array(ids[m] + 1000000, pa.int64()),
+            "phash": pa.array(
+                _ph_hash_ids(ids[m]) ^ np.int64(_PH_FLIP_MASK), pa.int64()
+            ),
+        }
+    )
+    un = hashed.union(ray.data.from_arrow(planted))
+    out = phash_neardup_pairs(un, "phash", "doc_id", hamming_radius=3)
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+def q_asof_tolerance_events(sf_dir):
+    """As-of join with a 1-hour match tolerance: a view only picks up the
+    latest purchase within the preceding hour (zero temporal leakage AND
+    bounded staleness). mobray/pipelines/temporal.py:350-414."""
+    import pyarrow.compute as pc
+
+    from mobray.pipelines.temporal import asof_join
+
+    ev = _events(sf_dir)
+
+    def views_only(t):
+        return t.filter(pc.equal(t["event_type"], "view")).select(
+            ["event_id", "user_id", "ts"]
+        )
+
+    def purchases_only(t):
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "ts", "value"]
+        )
+
+    left = ev.map_batches(views_only, batch_format="pyarrow")
+    right = ev.map_batches(purchases_only, batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="user_id", ts="ts", right_cols=["value"],
+        num_buckets=16, tolerance="1h",
+    )
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]), batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def q_quality_docs(sf_dir):
     import numpy as np
     import ray.data
@@ -766,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "phash_neardup_docs": q_phash_neardup_docs,
+        "asof_tolerance_events": q_asof_tolerance_events,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "simhash_clusters_docs": q_simhash_clusters_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -903,6 +1005,45 @@ def _fingerprint_oracle_sql() -> str:
             df, int_cols=("doc_id", "fingerprint"), order_by="doc_id"
         )
     return _ORACLE_CACHE["fingerprint"]
+
+
+def _phash_neardup_oracle_sql() -> str:
+    """Hashes are the INPUT (emitted as a VALUES CTE from the sf0.01
+    doc_ids with the same deterministic id->hash map the query uses); the
+    pair-finding under test — planting, LSH recall, Hamming radius — is
+    genuinely recomputed by SQL as a brute-force popcount(xor) self-join."""
+    if "phash_neardup" not in _ORACLE_CACHE:
+        import pyarrow.parquet as pq
+
+        ids = (
+            pq.read_table(f"{_SF01}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        h = _ph_hash_ids(ids)
+        rows = ",\n  ".join(
+            f"(CAST({int(i)} AS BIGINT), CAST({int(v)} AS BIGINT))"
+            for i, v in zip(ids, h)
+        )
+        _ORACLE_CACHE["phash_neardup"] = f"""
+            WITH base(doc_id, h) AS (VALUES
+              {rows}
+            ),
+            planted AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     xor(h, CAST({_PH_FLIP_MASK} AS BIGINT)) AS h
+              FROM base WHERE doc_id < {_PH_PLANT_K}
+            ),
+            allh AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+            FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 3
+            ORDER BY 1, 2
+        """
+    return _ORACLE_CACHE["phash_neardup"]
 
 
 def _binning_bins_oracle_sql() -> str:
@@ -1151,6 +1292,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
+        "phash_neardup_docs": _phash_neardup_oracle_sql(),
+        "asof_tolerance_events": """
+            SELECT l.event_id, l.user_id,
+                   CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value
+                        END AS value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type='view') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events
+                  WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
         "simhash_pairs_docs": _simhash_oracle_sql(),
         "simhash_clusters_docs": _simhash_clusters_oracle_sql(),
         "ngram_jaccard_docs": _ngram_oracle_sql(),
