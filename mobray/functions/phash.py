@@ -34,9 +34,12 @@ def _bounds_8x8(h: int, w: int):
         rcounts = np.maximum(np.diff(np.append(rb, h)), 1)
         ccounts = np.maximum(np.diff(np.append(cb, w)), 1)
         area = np.outer(rcounts, ccounts)
+        # row-stage accumulator for PER-CHANNEL sums: a row cell sums at
+        # most max(rcounts) uint8 values (channels not yet folded)
+        acc = np.uint16 if int(rcounts.max()) * 255 < (1 << 16) else np.int32
         if len(_BOUNDS_8) >= 1024:
             _BOUNDS_8.clear()
-        hit = _BOUNDS_8[key] = (rb, cb, area)
+        hit = _BOUNDS_8[key] = (rb, cb, area, acc)
     return hit
 
 
@@ -49,25 +52,36 @@ def phash64(pixels: np.ndarray) -> int:
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """(N, H, W, 3) uint8 -> (N,) int64 phash.
 
-    Integer pyramid: channel-sum the raw uint8 stack into a uint16
-    grayscale (exact: a per-pixel channel total is bounded by
-    3*255 = 765 < 2^16), then reduceat rows with an EXPLICIT int64
-    accumulator (a full 8x8 cell sum is bounded by
-    ceil(h/8)*ceil(w/8)*765, which exceeds 2^31 already at ~1700 px
-    images — the accumulator must not be left to numpy's
-    platform-default int promotion), then columns (int64 input stays
-    int64). Every cell sum is an exact integer and the only float math
-    is the final 64-cell mean/threshold. The (N, H, W) grayscale is the
-    single largest memory stream in the decode stage: uint16 is 2 bytes
-    per pixel vs 4 for the previous int32 (and 8 for the original
-    float64); streaming bandwidth is what limits per-core throughput
-    when many decode actors run."""
-    n, h, w, _ = stack.shape
-    rb, cb, area = _bounds_8x8(h, w)
-    g = stack.sum(axis=3, dtype=np.uint16)
-    sums = np.add.reduceat(
-        np.add.reduceat(g, rb, axis=1, dtype=np.int64), cb, axis=2
+    Integer pyramid, channel-last: reduceat rows PER CHANNEL into a
+    (N, 8, W, C) uint16 intermediate (exact while
+    255 * max_row_count < 2^16, i.e. any image up to ~2000 px tall;
+    int32 beyond), then columns with an EXPLICIT int64 accumulator (a
+    full 8x8 cell sum exceeds 2^31 already at ~1700 px images — never
+    leave it to numpy's platform-default int promotion), then fold the
+    channel axis. Integer addition commutes, so cell sums are
+    bit-identical to the old grayscale-first order — but the stack is
+    read ONCE (3 bytes/pixel) with a small 8-row intermediate instead of
+    writing + re-reading a full (N, H, W) grayscale (2+2 bytes/pixel
+    extra); streaming bandwidth is what limits per-core throughput when
+    many decode actors run. The per-channel cell layout is shared with
+    the 8x8 area-resize (same boundary formula), which is what lets the
+    decode stage fuse phash/PSNR-thumb/brightness into one reduction
+    (``phash64_from_cells``)."""
+    rb, cb, area, acc = _bounds_8x8(stack.shape[1], stack.shape[2])
+    cells4 = np.add.reduceat(
+        np.add.reduceat(stack, rb, axis=1, dtype=acc), cb, axis=2,
+        dtype=np.int64,
     )
+    return phash64_from_cells(cells4.sum(axis=3), area)
+
+
+def phash64_from_cells(sums: np.ndarray, area: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) int64 grayscale cell sums (+ the 8x8 integer pixel-count
+    grid) -> (N,) int64 phash. The threshold/packing tail of
+    ``phash64_batch``, split out so a caller that already holds the
+    per-channel cell sums (the fused decode stage) skips every full-image
+    pass."""
+    n = len(sums)
     cells = sums.reshape(n, 64) / (3.0 * area.reshape(64))
     bits = cells > cells.mean(axis=1)[:, None]
     packed = np.packbits(bits.astype(np.uint8), axis=1)  # (n, 8) big-endian

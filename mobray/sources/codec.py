@@ -39,15 +39,26 @@ def png_encode(pixels: np.ndarray, compress_level: int = 1) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+def _unfilter(
+    raw: np.ndarray, h: int, w: int, bpp: int = 3, out: np.ndarray = None
+) -> np.ndarray:
     """Undo PNG scanline filters (types 0-4). Row-wise loop; each row is
-    vectorized except Sub/Paeth which are inherently sequential."""
+    vectorized except Sub/Paeth which are inherently sequential.
+    ``out`` (h, w*bpp uint8): decode straight into a caller buffer — the
+    decode stage passes a slot of its preallocated same-shape chunk so
+    pixels are written ONCE instead of copy-out-of-unfilter + np.stack."""
     stride = w * bpp
     rows = raw.reshape(h, 1 + stride)
     # fast path: all scanlines unfiltered (what our encoder emits) -> one slice
     if not rows[:, 0].any():
+        if out is not None:
+            np.copyto(out, rows[:, 1:])
+            return out
         return np.ascontiguousarray(rows[:, 1:])
-    out = np.zeros((h, stride), dtype=np.uint8)
+    if out is None:
+        # every row is written before row r+1 reads it as `prev`, so the
+        # buffer needs no zeroing — np.empty matches the out-buffer path
+        out = np.empty((h, stride), dtype=np.uint8)
     for r in range(h):
         ftype = rows[r, 0]
         cur = rows[r, 1:].astype(np.int32)
@@ -81,13 +92,16 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     return out
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode an RGB8 PNG produced by any conformant encoder -> (H, W, 3) uint8."""
+def png_decode(data: bytes, out: np.ndarray = None) -> np.ndarray:
+    """Decode an RGB8 PNG produced by any conformant encoder -> (H, W, 3)
+    uint8, optionally straight into ``out`` (whose shape must match the
+    IHDR dimensions — a mismatch means the payload does not belong to its
+    metadata row and is rejected as corrupt)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     w = h = None
-    idat = bytearray()
+    idat_parts = []
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -100,15 +114,27 @@ def png_decode(data: bytes) -> np.ndarray:
                     f"unsupported PNG variant (depth={depth} color={ctype} interlace={interlace})"
                 )
         elif tag == b"IDAT":
-            idat.extend(payload)
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # single-IDAT fast path (what our encoder emits): decompress the
+    # buffer view directly, no join copy of the compressed stream
+    if len(idat_parts) == 1:
+        raw = np.frombuffer(zlib.decompress(idat_parts[0]), dtype=np.uint8)
+    else:
+        raw = np.frombuffer(
+            zlib.decompress(b"".join(bytes(p) for p in idat_parts)), dtype=np.uint8
+        )
     expected = h * (1 + w * 3)
     if len(raw) != expected:
         raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
+    if out is not None:
+        if out.shape != (h, w, 3):
+            raise ValueError(f"decoded dims ({h}, {w}) != metadata {out.shape[:2]}")
+        _unfilter(raw, h, w, out=out.reshape(h, w * 3))
+        return out
     return _unfilter(raw, h, w).reshape(h, w, 3)
 
 
@@ -118,10 +144,13 @@ def raw_encode(pixels: np.ndarray) -> bytes:
     return pixels.tobytes()
 
 
-def raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
+def raw_decode(data: bytes, w: int, h: int, out: np.ndarray = None) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8)
     if len(arr) != h * w * 3:
         raise ValueError(f"raw buffer length {len(arr)} != {h}x{w}x3")
+    if out is not None:
+        np.copyto(out.reshape(-1), arr)
+        return out
     return arr.reshape(h, w, 3)
 
 
@@ -136,11 +165,13 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     )
 
 
-def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+def decode_image(
+    data: bytes, w: int, h: int, fmt: str, out: np.ndarray = None
+) -> np.ndarray:
     if fmt == "png":
-        return png_decode(data)
+        return png_decode(data, out=out)
     if fmt == "raw":
-        return raw_decode(data, w, h)
+        return raw_decode(data, w, h, out=out)
     raise NotImplementedError(
         f"fmt '{fmt}' not supported in this sandbox (no image libs); "
         f"supported: png, raw"
@@ -200,17 +231,28 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
 
 
+def area_cells_batch(stack: np.ndarray, out_w: int, out_h: int):
+    """Exact integer per-channel cell sums for an area resize of a
+    (N, H, W, C) uint8 stack: (cells (N, out_h, out_w, C) int64,
+    area (out_h, out_w, 1) float64). The shared first stage of
+    ``resize_area_batch``, exposed so the decode stage can reuse ONE
+    reduction for its 8x8 PSNR thumb, the phash (same 8x8 boundary
+    formula; fold the channel axis), and the brightness mean."""
+    n, h, w, c = stack.shape
+    rb, cb, area, acc = _resize_bounds(h, w, out_h, out_w)
+    cells = np.add.reduceat(
+        np.add.reduceat(stack, rb, axis=1, dtype=acc), cb, axis=2,
+        dtype=np.int64,
+    )
+    return cells, area
+
+
 def resize_area_batch(stack: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(N, H, W, C) uint8 -> (N, out_h, out_w, C) uint8, bit-exact vs
     per-image ``resize_area`` (same reduceat segment order per image,
     same exact-integer accumulators)."""
-    n, h, w, c = stack.shape
-    rb, cb, area, acc = _resize_bounds(h, w, out_h, out_w)
-    sums = np.add.reduceat(
-        np.add.reduceat(stack, rb, axis=1, dtype=acc), cb, axis=2,
-        dtype=np.int64,
-    )
-    return np.rint(sums / area).astype(np.uint8)  # f64 division (area is f64)
+    cells, area = area_cells_batch(stack, out_w, out_h)
+    return np.rint(cells / area).astype(np.uint8)  # f64 division (area is f64)
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> np.ndarray:

@@ -23,8 +23,15 @@ import numpy as np
 import pyarrow as pa
 
 from mobray.functions.arrowutils import binary_views
-from mobray.functions.phash import phash64, phash64_batch, popcount64
+from mobray.functions.phash import (
+    phash64,
+    phash64_batch,
+    phash64_from_cells,
+    popcount64,
+)
 from mobray.sources.codec import (
+    _resize_bounds,
+    area_cells_batch,
     decode_image,
     encode_image,
     psnr,
@@ -33,6 +40,10 @@ from mobray.sources.codec import (
     resize_area_batch,
 )
 from mobray.sources.imagegen import REF_THUMB_SIZE
+
+# the fused 8x8 cell reduction in DecodeVerifyStage doubles as the PSNR
+# reference thumb; the generator's thumb grid must stay the phash grid
+assert REF_THUMB_SIZE == 8, "fused decode gates assume 8x8 reference thumbs"
 
 
 def decode_batch_size_for(mean_image_bytes: float, budget_bytes: int = 64 << 20) -> int:
@@ -89,12 +100,43 @@ class DecodeVerifyStage:
         bright = np.full(n, np.nan)
         thumb_ph = np.zeros(n, dtype=np.int64)
 
-        def process(part: list) -> None:
-            # one same-shape stack of decoded images: all kernels amortize
-            # across the stack instead of paying per-image call overhead
-            idx = np.fromiter((i for i, _ in part), dtype=np.intp)
-            stack = np.stack([px for _, px in part])
-            bright[idx] = np.mean(stack, axis=(1, 2, 3), dtype=np.float64)
+        def process(stack: np.ndarray, id_list: list) -> None:
+            # One same-shape stack of decoded images: all kernels amortize
+            # across the stack. The 8x8 per-channel cell sums are computed
+            # ONCE and shared by three gates — phash uses the identical
+            # boundary grid (fold the channel axis; integer addition
+            # commutes, so cell sums are bit-identical to a standalone
+            # phash64_batch), the PSNR thumb is rint(cells/area), and
+            # brightness is the total cell sum over the pixel count
+            # (exact while the 8x8 boxes PARTITION the image, i.e.
+            # h, w >= 8 — smaller images fall back to np.mean).
+            idx = np.asarray(id_list, dtype=np.intp)
+            n_s, h, w = stack.shape[0], stack.shape[1], stack.shape[2]
+            # When the thumbnail grid is a multiple of 8 and the image is
+            # at least thumb-sized, the 8x8 boundaries NEST inside the
+            # thumb grid ((i*h)//8 == (r*i*h)//(8r)), so the 8x8 cells
+            # fold exactly out of the thumb cells — the whole stack is
+            # then read ONCE for all four gates instead of twice.
+            tsz = self.thumb_size
+            fuse_thumb = (
+                self.extract_thumb and tsz % 8 == 0 and h >= tsz and w >= tsz
+            )
+            if fuse_thumb:
+                cellsT, areaT = area_cells_batch(stack, tsz, tsz)
+                r = tsz // 8
+                cells8 = (
+                    cellsT.reshape(n_s, 8, r, tsz, -1)
+                    .sum(axis=2)
+                    .reshape(n_s, 8, 8, r, -1)
+                    .sum(axis=3)
+                )
+                area8 = _resize_bounds(h, w, 8, 8)[2]
+            else:
+                cells8, area8 = area_cells_batch(stack, 8, 8)
+            if h >= 8 and w >= 8:
+                bright[idx] = cells8.sum(axis=(1, 2, 3)) / float(h * w * 3)
+            else:
+                bright[idx] = np.mean(stack, axis=(1, 2, 3), dtype=np.float64)
             if refs is not None:
                 has_ref = np.fromiter(
                     (refs[i] is not None for i in idx), dtype=bool
@@ -109,45 +151,52 @@ class DecodeVerifyStage:
                             for i in ridx
                         ]
                     )
-                    got = resize_area_batch(
-                        stack[has_ref], REF_THUMB_SIZE, REF_THUMB_SIZE
-                    )
+                    got = np.rint(cells8 / area8).astype(np.uint8)
+                    if not has_ref.all():
+                        got = got[has_ref]
                     psnrs[ridx] = psnr_batch(got, ref)
             if self.check_phash:
-                ph_match[idx] = phash64_batch(stack) == stored_ph[idx].astype(
-                    np.int64
-                )
+                ph = phash64_from_cells(cells8.sum(axis=3), area8[:, :, 0])
+                ph_match[idx] = ph == stored_ph[idx].astype(np.int64)
             if self.extract_thumb:
-                thumbs = resize_area_batch(stack, self.thumb_size, self.thumb_size)
+                if fuse_thumb:
+                    thumbs = np.rint(cellsT / areaT).astype(np.uint8)
+                else:
+                    thumbs = resize_area_batch(stack, tsz, tsz)
                 thumb_ph[idx] = phash64_batch(thumbs)
 
-        # decode is per-image (png framing); same-shape stacks are
-        # processed AS SOON AS a chunk's worth accumulates so decoded
-        # pixels are released incrementally — peak per-actor memory is
-        # ~one chunk per distinct shape, not the whole batch's pixels.
-        # Chunk keeps the float64 working set ~<=64 MB per stack.
-        decoded: dict = {}  # (h, w) -> list[(row_idx, pixels)]
-        chunk_for: dict = {}
+        # decode is per-image (png framing) but lands DIRECTLY in a
+        # preallocated same-shape chunk buffer (decode_image(out=...)):
+        # pixels are written once, not copied out of the decoder and
+        # again into an np.stack. Chunks are processed AS SOON AS they
+        # fill so decoded pixels are released incrementally — peak
+        # per-actor memory is ~one chunk per distinct shape, not the
+        # whole batch's pixels. The shape comes from the metadata
+        # columns; a decodable payload whose true dimensions disagree
+        # with its row's (w, h) is rejected as corrupt (gate semantics).
+        decoded: dict = {}  # (h, w) -> [chunk_buffer, row_id_list]
         for i in range(n):
+            h_i, w_i = int(hs[i]), int(ws[i])
+            ent = decoded.get((h_i, w_i))
+            if ent is None:
+                chunk = max(1, (64 << 20) // (h_i * w_i * 3 * 8))
+                ent = decoded[(h_i, w_i)] = [
+                    np.empty((chunk, h_i, w_i, 3), dtype=np.uint8),
+                    [],
+                ]
+            buf, ids = ent
             try:
-                px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+                decode_image(blobs[i], w_i, h_i, fmts[i], out=buf[len(ids)])
             except Exception:
                 continue
             ok[i] = True
-            shape = px.shape[:2]
-            lst = decoded.setdefault(shape, [])
-            lst.append((i, px))
-            chunk = chunk_for.get(shape)
-            if chunk is None:
-                chunk = max(1, (64 << 20) // (shape[0] * shape[1] * 3 * 8))
-                chunk_for[shape] = chunk
-            if len(lst) >= chunk:
-                process(lst)
-                lst.clear()
-        for lst in decoded.values():
-            if lst:
-                process(lst)
-                lst.clear()
+            ids.append(i)
+            if len(ids) == len(buf):
+                process(buf, ids)
+                ids.clear()
+        for buf, ids in decoded.values():
+            if ids:
+                process(buf[: len(ids)], ids)
 
         batch = batch.append_column("decode_ok", pa.array(ok))
         batch = batch.append_column("phash_match", pa.array(ph_match))

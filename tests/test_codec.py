@@ -233,3 +233,67 @@ class TestBatchKernels:
         assert np.isinf(got[0]) and np.isinf(got[2]) and np.isinf(got[4])
         for k in range(5):
             assert got[k] == psnr(a[k], b[k])
+
+
+class TestFusedDecodeGates:
+    def test_fused_cells_match_standalone_kernels(self):
+        """DecodeVerifyStage computes phash / PSNR thumb / brightness /
+        32x32 thumb from ONE shared cell reduction (the 8x8 grid nests in
+        the 32x32 grid); outputs must be bit-identical to the standalone
+        kernels at every size class, including the non-nesting and
+        sub-8px fallbacks."""
+        import pyarrow as pa
+
+        from mobray.functions.phash import phash64, phash64_batch
+        from mobray.sources.codec import raw_encode, resize_area
+        from mobray.sources.imagegen import REF_THUMB_SIZE
+        from mobray.stages.decode import DecodeVerifyStage
+
+        rng = np.random.RandomState(2)
+        for h, w in [(7, 5), (9, 40), (16, 48), (31, 33), (32, 32),
+                     (40, 40), (96, 64), (128, 128)]:
+            px = rng.randint(0, 256, (h, w, 3), np.uint8)
+            ref = resize_area(px, REF_THUMB_SIZE, REF_THUMB_SIZE).tobytes()
+            b = pa.table(
+                {
+                    "bytes": pa.array([raw_encode(px)], pa.binary()),
+                    "w": pa.array([w], pa.int32()),
+                    "h": pa.array([h], pa.int32()),
+                    "fmt": ["raw"],
+                    "phash": pa.array([phash64(px)], pa.int64()),
+                    "ref_thumb": pa.array([ref], pa.binary()),
+                }
+            )
+            out = DecodeVerifyStage(extract_thumb=True)(b)
+            assert out["decode_ok"].to_pylist() == [True], (h, w)
+            assert out["phash_match"].to_pylist() == [True], (h, w)
+            assert out["psnr_db"].to_pylist() == [float("inf")], (h, w)
+            assert out["brightness"].to_pylist()[0] == np.mean(
+                px, dtype=np.float64
+            ), (h, w)
+            want_thumb_ph = int(
+                phash64_batch(resize_area(px, 32, 32)[None, ...])[0]
+            )
+            assert out["thumb_phash"].to_pylist() == [want_thumb_ph], (h, w)
+
+    def test_metadata_dim_mismatch_is_corrupt(self):
+        """A decodable PNG whose true dimensions disagree with its row's
+        (w, h) metadata is rejected at the gate (decode_ok False)."""
+        import pyarrow as pa
+
+        from mobray.sources.codec import png_encode
+
+        px = np.random.RandomState(3).randint(0, 256, (16, 16, 3), np.uint8)
+        b = pa.table(
+            {
+                "bytes": pa.array([png_encode(px)], pa.binary()),
+                "w": pa.array([32], pa.int32()),  # lies about the size
+                "h": pa.array([32], pa.int32()),
+                "fmt": ["png"],
+                "phash": pa.array([0], pa.int64()),
+            }
+        )
+        from mobray.stages.decode import DecodeVerifyStage
+
+        out = DecodeVerifyStage()(b)
+        assert out["decode_ok"].to_pylist() == [False]
