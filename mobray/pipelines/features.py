@@ -64,6 +64,29 @@ PAYLOAD_LEFT_TYPES = {
 }
 
 
+class ModelHolder:
+    """Tiny rendezvous actor for the OVERLAPPED fit: the driver thread
+    that runs the metadata fit publishes the finished BinningModel here;
+    payload actors poll it the first time they need to score. ``get``
+    returns None while the fit is still running (the actor's single
+    thread must never block, or ``set`` could not run)."""
+
+    def __init__(self):
+        self._model = None
+        self._error = None
+
+    def set(self, model) -> None:
+        self._model = model
+
+    def set_error(self, msg: str) -> None:
+        self._error = msg
+
+    def get(self):
+        if self._error is not None:
+            raise RuntimeError(f"overlapped fit failed: {self._error}")
+        return self._model
+
+
 class PayloadStage:
     """THE per-row actor stage of the payload pass: decode/verify +
     thumbnail extraction + metadata features + model scoring + as-of
@@ -72,17 +95,43 @@ class PayloadStage:
     count (Ray otherwise re-bundles the small decoded blocks into a
     handful of downstream tasks, capping the cluster at ~a dozen
     workers) and ships exactly one output block per input block
-    straight into the exchange."""
+    straight into the exchange.
 
-    def __init__(self, model, num_buckets: int):
+    ``model`` may be None with a ``model_holder`` actor handle instead:
+    the metadata fit then runs CONCURRENTLY with the payload read +
+    decode (see ``image_feature_pipeline(overlap_fit=...)``) and the
+    stage binds the model on first use — by which point the fit has
+    normally long finished, so the poll is a single remote get."""
+
+    def __init__(self, model, num_buckets: int, model_holder=None):
         self.decode = DecodeVerifyStage(extract_thumb=True)
-        self.score = make_multi_transform_stage(
-            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
-        )
+        self._holder = model_holder
+        self.score = None
+        if model is not None:
+            self._bind(model)
         self.pad = make_pad_left_fn(
             PAYLOAD_LEFT_NAMES, "image_id", {"attr": pa.float64()},
             ["attr"], ["attr"], num_buckets,
         )
+
+    def _bind(self, model) -> None:
+        self.score = make_multi_transform_stage(
+            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+        )
+
+    def _ensure_model(self) -> None:
+        if self.score is not None:
+            return
+        import time as _time
+
+        import ray as _ray
+
+        while True:
+            model = _ray.get(self._holder.get.remote())
+            if model is not None:
+                self._bind(model)
+                return
+            _time.sleep(0.05)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.decode(batch)
@@ -91,6 +140,7 @@ class PayloadStage:
         drop = ["bytes"] + (["ref_thumb"] if "ref_thumb" in batch.schema.names else [])
         batch = batch.drop_columns(drop)
         batch = image_feature_stage(batch)
+        self._ensure_model()
         batch = self.score(batch)
         return self.pad(batch)
 
@@ -181,6 +231,7 @@ def image_feature_pipeline(
     verify_decode: bool = False,
     decode_concurrency: int = 4,
     shard_limit: Optional[int] = None,
+    overlap_fit: bool = False,
 ):
     """Run the full feature job over a generated image table directory.
 
@@ -193,16 +244,51 @@ def image_feature_pipeline(
     decoded and gated (PSNR/phash) on the pool, bytes are dropped before
     any exchange, and the per-partition manifests carry the gate counts.
     One execution, one read of the payload, zero bytes in the shuffle.
+
+    ``overlap_fit=True`` (verify_decode + out_dir path): run the
+    metadata fit pass in a driver thread CONCURRENTLY with the payload
+    pass — the payload actors need the model only after their first
+    decode, by which point the (much shorter) fit has finished. On a
+    saturated small cluster the overlap is free; on a large one it
+    removes the fit from the critical path entirely (it is the dominant
+    serial term once decode is fast). The produced model and features
+    are identical either way.
     """
     meta = read_image_table(data_dir, columns=META_COLS, shard_limit=shard_limit)
     feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
+    cons = constraints or BinningConstraints(max_bins=6, min_bins=2)
 
-    model = fit_dataset(
-        feats_meta,
-        "pop",
-        "label",
-        constraints=constraints or BinningConstraints(max_bins=6, min_bins=2),
-    )
+    fit_thread = None
+    fit_box: dict = {}
+    if verify_decode and overlap_fit:
+        import threading
+
+        import ray
+
+        holder = (
+            ray.remote(num_cpus=0)(ModelHolder)
+            .options(max_restarts=0)
+            .remote()
+        )
+
+        def _run_fit():
+            try:
+                m = fit_dataset(feats_meta, "pop", "label", constraints=cons)
+                fit_box["model"] = m
+                ray.get(holder.set.remote(m))
+            except Exception as exc:  # surface in BOTH threads
+                fit_box["error"] = exc
+                try:
+                    ray.get(holder.set_error.remote(repr(exc)))
+                except Exception:
+                    pass
+
+        fit_thread = threading.Thread(target=_run_fit, name="mobray-fit")
+        fit_thread.start()
+        model = None
+    else:
+        model = fit_dataset(feats_meta, "pop", "label", constraints=cons)
+        holder = None
 
     attrs = read_attrs_table(data_dir, shard_limit=shard_limit)
     post = make_window_post_fn(
@@ -213,7 +299,11 @@ def image_feature_pipeline(
         src_ds = read_image_table(data_dir, shard_limit=shard_limit)  # includes bytes
         left_padded = src_ds.map_batches(
             PayloadStage,
-            fn_constructor_kwargs={"model": model, "num_buckets": num_buckets},
+            fn_constructor_kwargs={
+                "model": model,
+                "num_buckets": num_buckets,
+                "model_holder": holder if model is None else None,
+            },
             batch_format="pyarrow",
             batch_size=payload_batch_size(data_dir),
             concurrency=decode_concurrency,
@@ -249,7 +339,19 @@ def image_feature_pipeline(
         metrics = (
             features.to_pandas().sort_values("pid").reset_index(drop=True)
         )
+        if fit_thread is not None:
+            fit_thread.join()
+            if "error" in fit_box:
+                raise fit_box["error"]
+            model = fit_box["model"]
         return metrics, model
+    if fit_thread is not None:
+        # lazy return: the caller executes later, so there is nothing to
+        # overlap with — just finish the fit before handing back
+        fit_thread.join()
+        if "error" in fit_box:
+            raise fit_box["error"]
+        model = fit_box["model"]
     return features, model
 
 
@@ -261,16 +363,19 @@ def full_job(
     decode_concurrency: int = 8,
     constraints: Optional[BinningConstraints] = None,
     shard_limit: Optional[int] = None,
+    overlap_fit: bool = True,
 ):
     """The complete north-star job: decode/verify every image on an actor
     pool (PSNR/phash gates) AND produce the binned + as-of-joined +
     windowed feature rows with a checkpointed write.
 
     Decode/verify is FUSED into the feature pipeline (verify_decode=True)
-    so the whole job is two Ray executions total: the metadata-only fit
-    pass and the payload pass (decode -> drop bytes -> transform -> one
-    as-of shuffle with fused windows + checkpointed write). Gate counts
-    come back on the per-partition lineage records.
+    so the whole job is two CONCURRENT Ray executions: the metadata-only
+    fit pass (overlapped with the payload read/decode; the payload
+    actors bind the model on first use) and the payload pass (decode ->
+    drop bytes -> transform -> one as-of shuffle with fused windows +
+    checkpointed write). Gate counts come back on the per-partition
+    lineage records.
 
     Returns (metrics_df, model, decode_report)."""
     metrics, model = image_feature_pipeline(
@@ -281,6 +386,7 @@ def full_job(
         verify_decode=True,
         decode_concurrency=decode_concurrency,
         shard_limit=shard_limit,
+        overlap_fit=overlap_fit,
     )
     fresh = metrics[~metrics["skipped"]]
     report = {
