@@ -241,3 +241,44 @@ class TestFullJob:
         )
         assert metrics["skipped"].all()
         assert report["n_skipped_rows"] == 300
+
+
+class TestOverlappedFit:
+    def test_overlap_identical_to_serial(self, ray_session, image_dir, tmp_path):
+        """full_job(overlap_fit=True) runs the metadata fit concurrently
+        with the payload pass via the ModelHolder rendezvous; the model
+        and every per-partition content hash must equal the serial path."""
+        from mobray.pipelines.features import full_job
+
+        m1, mod1, rep1 = full_job(
+            image_dir, str(tmp_path / "ovl"), num_buckets=8,
+            decode_concurrency=2, overlap_fit=True,
+        )
+        m0, mod0, rep0 = full_job(
+            image_dir, str(tmp_path / "ser"), num_buckets=8,
+            decode_concurrency=2, overlap_fit=False,
+        )
+        assert np.array_equal(mod0.rights, mod1.rights)
+        assert np.array_equal(mod0.woe, mod1.woe)
+        assert rep0 == rep1
+        h0 = m0["content_hash"].sort_values().to_numpy()
+        h1 = m1["content_hash"].sort_values().to_numpy()
+        assert len(h0) == len(h1) and (h0 == h1).all()
+
+    def test_fit_failure_surfaces(self, ray_session, image_dir, tmp_path):
+        """A failing overlapped fit must raise on the driver (via the
+        holder's error slot reaching the payload actors, or the join),
+        never hang the payload actors in the model poll loop."""
+        from mobray.core.constraints import BinningConstraints
+        from mobray.pipelines.features import image_feature_pipeline
+
+        class BoomConstraints(BinningConstraints):
+            def copy(self):  # first constraints call inside the core fit
+                raise RuntimeError("boom-fit")
+
+        with pytest.raises(Exception, match="boom"):
+            image_feature_pipeline(
+                image_dir, out_dir=str(tmp_path / "boom"), num_buckets=8,
+                verify_decode=True, decode_concurrency=2, overlap_fit=True,
+                constraints=BoomConstraints(),
+            )
