@@ -202,6 +202,160 @@ def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
     return _windows_and_write
 
 
+class CoPartitionedShardStage:
+    """Shuffle-free flagship job over CO-PARTITIONED storage.
+
+    PARTITIONING ASSUMPTION (validated per shard at runtime): image shard
+    i and attrs shard i cover the SAME entity set — the generator writes
+    both sides on identical entity ranges (sources/imagegen.py), which is
+    the layout a production 100 TB feature store maintains precisely so
+    point-in-time joins never pay an all-to-all. Each task then runs the
+    ENTIRE per-shard job locally: chunked decode/verify (byte-budgeted),
+    feature + model scoring, pd.merge_asof against its attrs shard,
+    window features, checkpointed write — one metrics row out, zero rows
+    exchanged. A violated assumption raises with guidance to the
+    exchange-based path (``full_job(exchange='shuffle')``).
+
+    Resume: a shard whose partition manifest is already consistent is
+    skipped BEFORE any byte of it is read — the exchange path can only
+    skip the final write.
+    """
+
+    def __init__(
+        self,
+        model,
+        out_dir: str,
+        session_gap: str = "30min",
+        model_holder=None,
+        decoded_budget_bytes: int = 64 << 20,
+        expansion: float = 4.0,
+    ):
+        self.decode = DecodeVerifyStage(extract_thumb=True)
+        self._holder = model_holder
+        self.score = None
+        if model is not None:
+            self._bind(model)
+        self.out_dir = out_dir
+        self.windows = make_window_post_fn(session_gap=session_gap)
+        self.budget = decoded_budget_bytes
+        self.expansion = expansion
+
+    def _bind(self, model) -> None:
+        self.score = make_multi_transform_stage(
+            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+        )
+
+    def _ensure_model(self) -> None:
+        if self.score is not None:
+            return
+        import time as _time
+
+        import ray as _ray
+
+        while True:
+            model = _ray.get(self._holder.get.remote())
+            if model is not None:
+                self._bind(model)
+                return
+            _time.sleep(0.05)
+
+    def _one_shard(self, img_path: str, attr_path: str, pid: int) -> dict:
+        import pyarrow.parquet as pq
+
+        from mobray.state.checkpoint import partition_done, write_partition
+
+        done = partition_done(self.out_dir, pid)
+        if done is not None:
+            return {
+                "pid": pid, "rows": done["rows"], "bytes": done["bytes"],
+                "wall_s": 0.0, "skipped": True,
+                "content_hash": done["content_hash"],
+                "n_decode_ok": None, "n_phash_match": None,
+                "n_psnr_ge_40": None,
+            }
+        t = pq.read_table(img_path)
+        mean_bytes = max(
+            1.0, sum(t[c].nbytes for c in t.schema.names) / max(1, len(t))
+        )
+        chunk = max(64, int(self.budget / (mean_bytes * self.expansion)))
+        parts = []
+        for off in range(0, len(t), chunk):
+            c = self.decode(t.slice(off, chunk))
+            drop = ["bytes"] + (
+                ["ref_thumb"] if "ref_thumb" in c.schema.names else []
+            )
+            c = image_feature_stage(c.drop_columns(drop))
+            self._ensure_model()
+            parts.append(self.score(c))
+        feats = pa.concat_tables(parts).to_pandas()
+        attrs = pq.read_table(attr_path).to_pandas()
+        missing = set(attrs["image_id"].unique()) - set(feats["image_id"].unique())
+        if missing:
+            raise ValueError(
+                f"co-partitioning violated for shard {pid}: {len(missing)} "
+                f"attr entities absent from the image shard (e.g. "
+                f"{sorted(missing)[:3]}). The shuffle-free path requires "
+                f"entity-aligned shards; run full_job(exchange='shuffle')."
+            )
+        lf = feats.sort_values("event_ts", kind="stable")
+        rf = attrs.sort_values("event_ts", kind="stable")
+        merged = pd.merge_asof(
+            lf, rf, on="event_ts", by="image_id", direction="backward"
+        )
+        g = self.windows(merged)
+        rec = write_partition(g, self.out_dir, pid)
+        rec["n_decode_ok"] = int(g["decode_ok"].sum())
+        rec["n_phash_match"] = int(g["phash_match"].sum())
+        rec["n_psnr_ge_40"] = int((g["psnr_db"] >= 40.0).sum())
+        return rec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        recs = [
+            self._one_shard(r["img_path"], r["attr_path"], int(r["pid"]))
+            for r in batch.to_pylist()
+        ]
+        return pa.table(
+            {
+                "pid": pa.array([r["pid"] for r in recs], pa.int64()),
+                "rows": pa.array([r["rows"] for r in recs], pa.int64()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.int64()),
+                "wall_s": pa.array([r["wall_s"] for r in recs], pa.float64()),
+                "skipped": pa.array([r["skipped"] for r in recs], pa.bool_()),
+                "content_hash": pa.array(
+                    [r["content_hash"] for r in recs], pa.string()
+                ),
+                "n_decode_ok": pa.array(
+                    [r["n_decode_ok"] for r in recs], pa.int64()
+                ),
+                "n_phash_match": pa.array(
+                    [r["n_phash_match"] for r in recs], pa.int64()
+                ),
+                "n_psnr_ge_40": pa.array(
+                    [r["n_psnr_ge_40"] for r in recs], pa.int64()
+                ),
+            }
+        )
+
+
+def copartitioned_layout(data_dir: str, shard_limit: Optional[int] = None):
+    """The (img, attr, pid) shard triples iff the directory has the
+    entity-aligned layout (equal counts of images/ and attrs/ shards),
+    else None. Entity-set equality is validated per shard at run time."""
+    import glob
+    import os
+
+    imgs = sorted(glob.glob(os.path.join(data_dir, "images", "*.parquet")))
+    attrs = sorted(glob.glob(os.path.join(data_dir, "attrs", "*.parquet")))
+    if not imgs or len(imgs) != len(attrs):
+        return None
+    if shard_limit is not None:
+        imgs, attrs = imgs[:shard_limit], attrs[:shard_limit]
+    return [
+        {"img_path": i, "attr_path": a, "pid": p}
+        for p, (i, a) in enumerate(zip(imgs, attrs))
+    ]
+
+
 def payload_batch_size(
     data_dir: str,
     *,
@@ -364,30 +518,54 @@ def full_job(
     constraints: Optional[BinningConstraints] = None,
     shard_limit: Optional[int] = None,
     overlap_fit: bool = True,
+    exchange: str = "auto",
 ):
     """The complete north-star job: decode/verify every image on an actor
     pool (PSNR/phash gates) AND produce the binned + as-of-joined +
     windowed feature rows with a checkpointed write.
 
-    Decode/verify is FUSED into the feature pipeline (verify_decode=True)
-    so the whole job is two CONCURRENT Ray executions: the metadata-only
-    fit pass (overlapped with the payload read/decode; the payload
-    actors bind the model on first use) and the payload pass (decode ->
-    drop bytes -> transform -> one as-of shuffle with fused windows +
-    checkpointed write). Gate counts come back on the per-partition
-    lineage records.
+    ``exchange`` selects the join topology:
+      - 'copartitioned': shuffle-free — each (image, attrs) shard pair is
+        one self-contained task (see CoPartitionedShardStage); requires
+        the entity-aligned shard layout and validates it per shard.
+      - 'shuffle': the general hash-bucketed as-of exchange; works for
+        any layout.
+      - 'auto' (default): copartitioned when the directory has the
+        aligned layout, else shuffle.
+    The metadata-only fit pass overlaps the payload pass either way
+    (``overlap_fit``); the model, feature values, and gate counts are
+    identical across exchanges — only the partition layout differs
+    (entity-range partitions vs hash buckets).
 
     Returns (metrics_df, model, decode_report)."""
-    metrics, model = image_feature_pipeline(
-        data_dir,
-        constraints=constraints,
-        num_buckets=num_buckets,
-        out_dir=out_dir,
-        verify_decode=True,
-        decode_concurrency=decode_concurrency,
-        shard_limit=shard_limit,
-        overlap_fit=overlap_fit,
-    )
+    shards = copartitioned_layout(data_dir, shard_limit)
+    if exchange == "auto":
+        exchange = "copartitioned" if shards is not None else "shuffle"
+    if exchange == "copartitioned":
+        if shards is None:
+            raise ValueError(
+                f"{data_dir} lacks the entity-aligned images/attrs shard "
+                f"layout; use exchange='shuffle'"
+            )
+        metrics, model = _copartitioned_job(
+            data_dir, shards, out_dir,
+            constraints=constraints,
+            decode_concurrency=decode_concurrency,
+            overlap_fit=overlap_fit,
+        )
+    elif exchange == "shuffle":
+        metrics, model = image_feature_pipeline(
+            data_dir,
+            constraints=constraints,
+            num_buckets=num_buckets,
+            out_dir=out_dir,
+            verify_decode=True,
+            decode_concurrency=decode_concurrency,
+            shard_limit=shard_limit,
+            overlap_fit=overlap_fit,
+        )
+    else:
+        raise ValueError(f"unknown exchange {exchange!r}")
     fresh = metrics[~metrics["skipped"]]
     report = {
         "n": int(metrics["rows"].sum()),
@@ -397,6 +575,78 @@ def full_job(
         "n_skipped_rows": int(metrics.loc[metrics["skipped"], "rows"].sum()),
     }
     return metrics, model, report
+
+
+def _copartitioned_job(
+    data_dir: str,
+    shards: list,
+    out_dir: str,
+    *,
+    constraints: Optional[BinningConstraints] = None,
+    decode_concurrency: int = 8,
+    session_gap: str = "30min",
+    overlap_fit: bool = True,
+):
+    """Drive CoPartitionedShardStage over the shard triples; the fit
+    pass overlaps shard processing via the ModelHolder rendezvous (shard
+    tasks decode before they first need the model)."""
+    import threading
+
+    import ray
+    import ray.data
+
+    cons = constraints or BinningConstraints(max_bins=6, min_bins=2)
+    n_shards = len(shards)
+    meta = read_image_table(
+        data_dir, columns=META_COLS, shard_limit=n_shards
+    )
+    feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
+
+    fit_thread = None
+    fit_box: dict = {}
+    holder = None
+    model = None
+    if overlap_fit:
+        holder = ray.remote(num_cpus=0)(ModelHolder).options(max_restarts=0).remote()
+
+        def _run_fit():
+            try:
+                m = fit_dataset(feats_meta, "pop", "label", constraints=cons)
+                fit_box["model"] = m
+                ray.get(holder.set.remote(m))
+            except Exception as exc:
+                fit_box["error"] = exc
+                try:
+                    ray.get(holder.set_error.remote(repr(exc)))
+                except Exception:
+                    pass
+
+        fit_thread = threading.Thread(target=_run_fit, name="mobray-fit")
+        fit_thread.start()
+    else:
+        model = fit_dataset(feats_meta, "pop", "label", constraints=cons)
+
+    items = ray.data.from_items(shards).repartition(n_shards)
+    metrics_ds = items.map_batches(
+        CoPartitionedShardStage,
+        fn_constructor_kwargs={
+            "model": model,
+            "out_dir": out_dir,
+            "session_gap": session_gap,
+            "model_holder": holder,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=decode_concurrency,
+        num_cpus=1,
+    )
+    metrics = metrics_ds.to_pandas().sort_values("pid").reset_index(drop=True)
+    if fit_thread is not None:
+        fit_thread.join()
+        if "error" in fit_box:
+            raise fit_box["error"]
+        model = fit_box["model"]
+    return metrics, model
 
 
 def decode_verification_report(

@@ -30,6 +30,7 @@ from mobray.pipelines.temporal import (
     _per_bucket,
     bucket_col_for,
     is_bucket_col,
+    pad_column,
     restore_pad_dtypes,
 )
 
@@ -90,7 +91,7 @@ def hash_join(
         batch = batch.select(left_names)
         batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         for rc, oc in zip(rcols, out_rcols):
-            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
+            batch = batch.append_column(oc, pad_column(n, right_types[rc]))
         kv = batch[on].to_numpy(zero_copy_only=False)
         return batch.append_column(
             bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
@@ -103,7 +104,7 @@ def hash_join(
         for lc in left_names:
             if lc == on:
                 continue
-            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+            out = out.append_column(lc, pad_column(n, left_types[lc]))
         for rc, oc in zip(rcols, out_rcols):
             out = out.append_column(oc, batch[rc])
         kv = out[on].to_numpy(zero_copy_only=False)
@@ -176,7 +177,7 @@ def semi_join(
         for lc in left_names:
             if lc == on:
                 continue
-            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+            out = out.append_column(lc, pad_column(n, left_types[lc]))
         kv = out[on].to_numpy(zero_copy_only=False)
         out = out.append_column(
             bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())

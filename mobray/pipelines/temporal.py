@@ -79,6 +79,25 @@ def _arrow_types(schema) -> dict:
     return out
 
 
+def pad_column(n: int, t: "pa.DataType") -> "pa.Array":
+    """Schema-alignment padding for the OTHER side of a padded union.
+
+    Padded slots are never read by the per-bucket functions (each side is
+    split off before use), but their NULLS are not free: an int64 column
+    containing any null becomes float64 in the pandas bucket frame, and
+    the float64 round-trip silently destroys integer values above 2^53 —
+    a 64-bit hash column loses its low ~11 bits (caught by comparing the
+    shuffle exchange against the shuffle-free co-partitioned job). Pad
+    integers with 0 and booleans with False so the column's dtype
+    survives the union bit-exactly; other types keep nulls (floats/NaN,
+    timestamps/NaT, strings/None are lossless)."""
+    if pa.types.is_integer(t):
+        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()), t)
+    if pa.types.is_boolean(t):
+        return pa.array(np.zeros(n, dtype=bool))
+    return pa.nulls(n, t)
+
+
 def restore_pad_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
     """Undo pandas' dtype widening caused by null-padding in a union.
 
@@ -269,7 +288,7 @@ def make_pad_left_fn(
         n = batch.num_rows
         batch = batch.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         for rc, oc in zip(rcols, out_rcols):
-            batch = batch.append_column(oc, pa.nulls(n, right_types[rc]))
+            batch = batch.append_column(oc, pad_column(n, right_types[rc]))
         kv = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column(
             bc, pa.array(_hash_bucket(kv, num_buckets), pa.int32())
@@ -309,7 +328,7 @@ def asof_join_prepadded(
         for lc in left_names:
             if lc in (key, ts):
                 continue
-            out = out.append_column(lc, pa.nulls(n, left_types[lc]))
+            out = out.append_column(lc, pad_column(n, left_types[lc]))
         for rc, oc in zip(rcols, out_rcols):
             out = out.append_column(oc, batch[rc])
         kv = out[key].to_numpy(zero_copy_only=False)

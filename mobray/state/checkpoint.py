@@ -67,6 +67,14 @@ def _is_done(out_dir: str, pid: int) -> Optional[Dict]:
         return None
 
 
+def partition_done(out_dir: str, pid: int) -> Optional[Dict]:
+    """Public resume probe: the partition's manifest if it is already
+    written and consistent, else None. Lets a shard-local job skip ALL
+    work for finished partitions (the bucketed path can only skip the
+    final write — it has already paid the shuffle by then)."""
+    return _is_done(out_dir, pid)
+
+
 def write_partition(g: pd.DataFrame, out_dir: str, pid: int, job_id: str = "job") -> Dict:
     """Write one partition idempotently (skip if manifest valid); returns
     its metrics record. Usable from any per-bucket function so the write

@@ -282,3 +282,79 @@ class TestOverlappedFit:
                 verify_decode=True, decode_concurrency=2, overlap_fit=True,
                 constraints=BoomConstraints(),
             )
+
+
+class TestCoPartitionedExchange:
+    def test_bit_identical_to_shuffle(self, ray_session, image_dir, tmp_path):
+        """The shuffle-free co-partitioned job (entity-aligned shards,
+        zero exchange) must produce feature rows BIT-identical to the
+        bucketed shuffle — including int64 hash columns above 2^53,
+        which is exactly what caught the null-padding float64 corruption
+        (see temporal.pad_column)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from mobray.pipelines.features import full_job
+
+        m1, mod1, rep1 = full_job(
+            image_dir, str(tmp_path / "cop"), num_buckets=8,
+            decode_concurrency=2, exchange="copartitioned",
+        )
+        m0, mod0, rep0 = full_job(
+            image_dir, str(tmp_path / "shf"), num_buckets=8,
+            decode_concurrency=2, exchange="shuffle",
+        )
+        assert rep0 == rep1
+        assert np.array_equal(mod0.rights, mod1.rights)
+
+        def read_all(out):
+            fs = sorted(glob.glob(os.path.join(str(out), "part-*.parquet")))
+            return pd.concat(
+                [pq.read_table(f).to_pandas() for f in fs], ignore_index=True
+            )
+
+        a, b = read_all(tmp_path / "cop"), read_all(tmp_path / "shf")
+        cols = sorted(set(a.columns) & set(b.columns))
+        a2 = a[cols].sort_values(["image_id", "event_ts"]).reset_index(drop=True)
+        b2 = b[cols].sort_values(["image_id", "event_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a2, b2, check_like=True)
+        # full-precision phash survived both exchanges
+        assert a2["phash"].dtype == np.int64
+
+    def test_resume_skips_without_reading(self, ray_session, image_dir, tmp_path):
+        import time
+
+        from mobray.pipelines.features import full_job
+
+        out = str(tmp_path / "res")
+        full_job(image_dir, out, num_buckets=8, decode_concurrency=2,
+                 exchange="copartitioned")
+        t0 = time.time()
+        m2, _, _ = full_job(image_dir, out, num_buckets=8,
+                            decode_concurrency=2, exchange="copartitioned")
+        assert m2["skipped"].all()
+        assert time.time() - t0 < 15  # no decode: shards skipped pre-read
+
+    def test_violated_copartitioning_raises(self, ray_session, image_dir, tmp_path):
+        """An attrs shard with entities the image shard lacks must fail
+        loudly with guidance, not silently drop rows."""
+        import glob
+        import shutil
+
+        import pytest as _pytest
+
+        from mobray.pipelines.features import full_job
+
+        broken = str(tmp_path / "broken_src")
+        shutil.copytree(image_dir, broken)
+        ashards = sorted(glob.glob(os.path.join(broken, "attrs", "*.parquet")))
+        # swap two attrs shards -> entity sets no longer align
+        if len(ashards) >= 2:
+            tmp = ashards[0] + ".swap"
+            os.replace(ashards[0], tmp)
+            os.replace(ashards[1], ashards[0])
+            os.replace(tmp, ashards[1])
+            with _pytest.raises(Exception, match="co-partitioning violated"):
+                full_job(broken, str(tmp_path / "bout"), num_buckets=8,
+                         decode_concurrency=2, exchange="copartitioned")

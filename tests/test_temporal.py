@@ -432,3 +432,81 @@ class TestTimestampUnits:
         out = hopping_window(ray.data.from_pandas(df), "k", "ts", "v", window="1h", hop="30min").to_pandas()
         # every event lands in exactly 2 windows
         assert out["n_events"].sum() == 80
+
+
+class TestPadPrecision:
+    def test_int64_hash_survives_padded_union(self, ray_session):
+        """Int64 values above 2^53 must cross the padded-union as-of
+        exchange bit-exactly. Null padding turned the column float64 in
+        the pandas bucket frame and silently wiped the low ~11 bits of
+        64-bit hash values (caught by diffing the exchange against the
+        shuffle-free co-partitioned job); integer padding keeps the
+        dtype."""
+        import pyarrow as pa
+        import ray.data
+
+        from mobray.pipelines.temporal import asof_join
+
+        big = np.array(
+            [-7359337045717344419, 2**63 - 11, -(2**62) - 7, 12345],
+            dtype=np.int64,
+        )
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-01 00:01", "2024-01-01 00:05",
+                         "2024-01-01 00:01", "2024-01-01 00:05"]
+                    )
+                ),
+                "h": pa.array(big, pa.int64()),
+                "flag": pa.array([True, False, True, False]),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(pd.to_datetime(["2024-01-01 00:00"] * 2)),
+                "v": pa.array([10.0, 20.0], pa.float64()),
+            }
+        )
+        out = (
+            asof_join(
+                ray.data.from_arrow(left).repartition(2),
+                ray.data.from_arrow(right),
+                key="k", ts="ts", right_cols=["v"], num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        assert out["h"].dtype == np.int64
+        assert np.array_equal(np.sort(out["h"].to_numpy()), np.sort(big))
+        assert out["flag"].dtype == bool
+        assert (out["v"] == [10.0, 10.0, 20.0, 20.0]).all()
+
+    def test_int64_hash_survives_hash_join_fallback(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from mobray.pipelines.relational import hash_join
+
+        big = np.array([2**63 - 99, -(2**60) - 3], dtype=np.int64)
+        left = pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "h": pa.array(big, pa.int64())}
+        )
+        right = pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "v": pa.array([5.0, 6.0])}
+        )
+        out = (
+            hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                on="k", how="inner", num_buckets=2, engine="padded",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["h"].dtype == np.int64
+        assert np.array_equal(out["h"].to_numpy(), big)
