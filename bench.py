@@ -92,6 +92,20 @@ def _shard_limit(img_dir: str):
     return max(1, round(frac * n))
 
 
+def _headline_concurrency(img_dir: str) -> int:
+    """Actor-pool width for the headline job. The co-partitioned
+    (shuffle-free) path does everything inside the actors — reads, decode,
+    join, write — so it wants nearly every core (one is left for the
+    overlapped fit). The exchange path keeps the old half split (its read
+    + sort stages need the other half; measured deadlock-adjacent
+    starvation beyond that)."""
+    from mobray.pipelines.features import copartitioned_layout
+
+    if copartitioned_layout(img_dir) is not None:
+        return max(2, NUM_CPUS - 1)
+    return max(2, NUM_CPUS // 2)
+
+
 def bench_image_features(img_dir: str) -> tuple:
     """Headline: the full north-star job — decode/verify every image
     (actor pool, PSNR/phash gates) + binned/as-of-joined/windowed feature
@@ -113,7 +127,7 @@ def bench_image_features(img_dir: str) -> tuple:
         shutil.rmtree(warm_dir, ignore_errors=True)
         full_job(
             img_dir, warm_dir, num_buckets=8,
-            decode_concurrency=max(2, NUM_CPUS // 2),
+            decode_concurrency=_headline_concurrency(img_dir),
             shard_limit=max(1, n_shards // 50),
         )
         shutil.rmtree(warm_dir, ignore_errors=True)
@@ -122,7 +136,7 @@ def bench_image_features(img_dir: str) -> tuple:
             img_dir,
             out_dir,
             num_buckets=max(32, NUM_CPUS * 2),
-            decode_concurrency=max(2, NUM_CPUS // 2),
+            decode_concurrency=_headline_concurrency(img_dir),
             shard_limit=_shard_limit(img_dir),
         )
     )

@@ -596,6 +596,16 @@ def _copartitioned_job(
     import ray.data
 
     cons = constraints or BinningConstraints(max_bins=6, min_bins=2)
+    if overlap_fit:
+        # an actor pool holding EVERY cpu starves the concurrent fit's
+        # tasks and the shard actors then poll the ModelHolder forever —
+        # always leave the fit at least one core
+        try:
+            avail = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            avail = 0
+        if avail and decode_concurrency >= avail:
+            decode_concurrency = max(1, avail - 1)
     n_shards = len(shards)
     meta = read_image_table(
         data_dir, columns=META_COLS, shard_limit=n_shards
