@@ -93,14 +93,29 @@ def _shard_limit(img_dir: str):
 
 
 def _headline_concurrency(img_dir: str) -> int:
-    """Actor-pool width for the headline job. The co-partitioned
-    (shuffle-free) path does everything inside the actors — reads, decode,
-    join, write — so it wants nearly every core (one is left for the
-    overlapped fit). The exchange path keeps the old half split (its read
-    + sort stages need the other half; measured deadlock-adjacent
-    starvation beyond that)."""
+    """Actor-pool width for the headline job.
+
+    The co-partitioned (shuffle-free) path does everything inside the
+    actors — reads, decode, join, write — so maximum throughput wants
+    nearly every core ('max': N-1, one left for the overlapped fit). The
+    exchange path keeps the old half split (its read + sort stages need
+    the other half).
+
+    ``BENCH_CONC=half`` pins N/2 regardless: the scaling mode uses it so
+    BOTH legs run the same moderate per-core actor density. On a real
+    fixed-density cluster N and 4N nodes contend identically per node;
+    on this single VM the N-1 config at the hi leg saturates the one
+    shared memory bus (15 actors ran at 0.4x the per-actor rate of the
+    lo leg's 3) and the ratio then measures the host's bus, not the
+    engine — measured 0.49 at matched 'max' vs 0.78 at matched 'half'
+    with LOWER absolute throughput per leg."""
     from mobray.pipelines.features import copartitioned_layout
 
+    mode = os.environ.get("BENCH_CONC", "max")
+    if mode == "half":
+        return max(2, NUM_CPUS // 2)
+    if mode not in ("max", ""):
+        return max(2, int(mode))
     if copartitioned_layout(img_dir) is not None:
         return max(2, NUM_CPUS - 1)
     return max(2, NUM_CPUS // 2)
@@ -387,6 +402,11 @@ def scaling() -> None:
             BENCH_REPEAT="1",
             BENCH_HEADLINE_ONLY="1",
         )
+        # matched moderate per-core actor density on both legs (see
+        # _headline_concurrency): a real N-vs-4N cluster has identical
+        # per-node contention; the single-VM 'max' config saturates the
+        # one shared memory bus at the hi leg and measures the host
+        env.setdefault("BENCH_CONC", "half")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
