@@ -420,6 +420,49 @@ def q_orders_semi_join(sf_dir):
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_orders_bigkey_join(sf_dir):
+    """Padded-union hash join carrying an int64 column that is NOT
+    float64-representable (odd values above 2^53): guards the exchange's
+    integer padding end-to-end — null padding used to convert the column
+    to float64 in the bucket frames and silently wipe the low bits
+    (mobray/pipelines/temporal.py:pad_column)."""
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.relational import hash_join
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def add_bigkey(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        # odd offsets above 2^53 are unrepresentable in float64, so any
+        # float round-trip in the exchange would corrupt them
+        h = k * _np.int64(1 << 40) + k + _np.int64((1 << 53) + 1)
+        t = t.append_column("bigkey", _pa.array(h, _pa.int64()))
+        return t.rename_columns(["o_orderkey", "custkey", "bigkey"])
+
+    left = orders.map_batches(add_bigkey, batch_format="pyarrow")
+    customer = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        left, customer, on="custkey", how="inner",
+        right_cols=["c_mktsegment"], num_buckets=16, engine="padded",
+    )
+    out = joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return out[["o_orderkey", "bigkey", "c_mktsegment"]].astype(
+        {"o_orderkey": "int64", "bigkey": "int64"}
+    )
+
+
 def q_top_orders(sf_dir):
     """Global sort + limit: top-10 orders by total price."""
     import ray.data
@@ -854,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "orders_customer_join": q_orders_customer_join,
         "orders_semi_join": q_orders_semi_join,
+        "orders_bigkey_join": q_orders_bigkey_join,
         "top_orders": q_top_orders,
         "group_centroids": q_group_centroids,
         "hopping_events": q_hopping_events,
@@ -1182,6 +1226,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
+        """,
+        "orders_bigkey_join": """
+            SELECT o.o_orderkey,
+                   o.o_orderkey * CAST(1099511627776 AS BIGINT)
+                     + o.o_orderkey + CAST(9007199254740993 AS BIGINT)
+                     AS bigkey,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
