@@ -87,7 +87,71 @@ class ModelHolder:
         return self._model
 
 
-class PayloadStage:
+def _overlapped_fit(feats_meta, cons):
+    """Start the metadata fit in a driver thread, publishing the model
+    through a ModelHolder rendezvous actor. Returns (holder, join):
+    ``join()`` blocks until the fit finishes and returns the model,
+    re-raising any fit error on the driver (the error also reaches the
+    payload actors through the holder so their model poll cannot hang)."""
+    import threading
+
+    import ray
+
+    holder = ray.remote(num_cpus=0)(ModelHolder).options(max_restarts=0).remote()
+    box: dict = {}
+
+    def _run():
+        try:
+            m = fit_dataset(feats_meta, "pop", "label", constraints=cons)
+            box["model"] = m
+            ray.get(holder.set.remote(m))
+        except Exception as exc:  # surface in BOTH threads
+            box["error"] = exc
+            try:
+                ray.get(holder.set_error.remote(repr(exc)))
+            except Exception:
+                pass
+
+    thread = threading.Thread(target=_run, name="mobray-fit")
+    thread.start()
+
+    def join():
+        thread.join()
+        if "error" in box:
+            raise box["error"]
+        return box["model"]
+
+    return holder, join
+
+
+class _ModelBound:
+    """Mixin: lazy model binding against the ModelHolder rendezvous —
+    shared by the exchange-path PayloadStage and the shuffle-free
+    CoPartitionedShardStage. ``self.score`` is None until the first call
+    that needs it; by then the overlapped fit has normally finished, so
+    the poll is a single remote get."""
+
+    def _bind(self, model) -> None:
+        self.score = make_multi_transform_stage(
+            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
+        )
+
+    def _ensure_model(self) -> None:
+        if self.score is not None:
+            return
+        import time as _time
+
+        import ray as _ray
+
+        while True:
+            model = _ray.get(self._holder.get.remote())
+            if model is not None:
+                self._bind(model)
+                return
+            _time.sleep(0.05)
+
+
+class PayloadStage(_ModelBound):
     """THE per-row actor stage of the payload pass: decode/verify +
     thumbnail extraction + metadata features + model scoring + as-of
     left-side padding, all inside one actor ``__call__``. Fusing the
@@ -114,24 +178,6 @@ class PayloadStage:
             ["attr"], ["attr"], num_buckets,
         )
 
-    def _bind(self, model) -> None:
-        self.score = make_multi_transform_stage(
-            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
-        )
-
-    def _ensure_model(self) -> None:
-        if self.score is not None:
-            return
-        import time as _time
-
-        import ray as _ray
-
-        while True:
-            model = _ray.get(self._holder.get.remote())
-            if model is not None:
-                self._bind(model)
-                return
-            _time.sleep(0.05)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.decode(batch)
@@ -202,7 +248,7 @@ def make_window_post_fn(key: str = "image_id", ts: str = "event_ts",
     return _windows_and_write
 
 
-class CoPartitionedShardStage:
+class CoPartitionedShardStage(_ModelBound):
     """Shuffle-free flagship job over CO-PARTITIONED storage.
 
     PARTITIONING ASSUMPTION (validated per shard at runtime): image shard
@@ -240,24 +286,6 @@ class CoPartitionedShardStage:
         self.budget = decoded_budget_bytes
         self.expansion = expansion
 
-    def _bind(self, model) -> None:
-        self.score = make_multi_transform_stage(
-            model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
-        )
-
-    def _ensure_model(self) -> None:
-        if self.score is not None:
-            return
-        import time as _time
-
-        import ray as _ray
-
-        while True:
-            model = _ray.get(self._holder.get.remote())
-            if model is not None:
-                self._bind(model)
-                return
-            _time.sleep(0.05)
 
     def _one_shard(self, img_path: str, attr_path: str, pid: int) -> dict:
         import pyarrow.parquet as pq
@@ -412,33 +440,9 @@ def image_feature_pipeline(
     feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
     cons = constraints or BinningConstraints(max_bins=6, min_bins=2)
 
-    fit_thread = None
-    fit_box: dict = {}
+    join_fit = None
     if verify_decode and overlap_fit:
-        import threading
-
-        import ray
-
-        holder = (
-            ray.remote(num_cpus=0)(ModelHolder)
-            .options(max_restarts=0)
-            .remote()
-        )
-
-        def _run_fit():
-            try:
-                m = fit_dataset(feats_meta, "pop", "label", constraints=cons)
-                fit_box["model"] = m
-                ray.get(holder.set.remote(m))
-            except Exception as exc:  # surface in BOTH threads
-                fit_box["error"] = exc
-                try:
-                    ray.get(holder.set_error.remote(repr(exc)))
-                except Exception:
-                    pass
-
-        fit_thread = threading.Thread(target=_run_fit, name="mobray-fit")
-        fit_thread.start()
+        holder, join_fit = _overlapped_fit(feats_meta, cons)
         model = None
     else:
         model = fit_dataset(feats_meta, "pop", "label", constraints=cons)
@@ -493,19 +497,13 @@ def image_feature_pipeline(
         metrics = (
             features.to_pandas().sort_values("pid").reset_index(drop=True)
         )
-        if fit_thread is not None:
-            fit_thread.join()
-            if "error" in fit_box:
-                raise fit_box["error"]
-            model = fit_box["model"]
+        if join_fit is not None:
+            model = join_fit()
         return metrics, model
-    if fit_thread is not None:
+    if join_fit is not None:
         # lazy return: the caller executes later, so there is nothing to
         # overlap with — just finish the fit before handing back
-        fit_thread.join()
-        if "error" in fit_box:
-            raise fit_box["error"]
-        model = fit_box["model"]
+        model = join_fit()
     return features, model
 
 
@@ -590,8 +588,6 @@ def _copartitioned_job(
     """Drive CoPartitionedShardStage over the shard triples; the fit
     pass overlaps shard processing via the ModelHolder rendezvous (shard
     tasks decode before they first need the model)."""
-    import threading
-
     import ray
     import ray.data
 
@@ -612,27 +608,11 @@ def _copartitioned_job(
     )
     feats_meta = meta.map_batches(image_feature_stage, batch_format="pyarrow")
 
-    fit_thread = None
-    fit_box: dict = {}
     holder = None
     model = None
+    join_fit = None
     if overlap_fit:
-        holder = ray.remote(num_cpus=0)(ModelHolder).options(max_restarts=0).remote()
-
-        def _run_fit():
-            try:
-                m = fit_dataset(feats_meta, "pop", "label", constraints=cons)
-                fit_box["model"] = m
-                ray.get(holder.set.remote(m))
-            except Exception as exc:
-                fit_box["error"] = exc
-                try:
-                    ray.get(holder.set_error.remote(repr(exc)))
-                except Exception:
-                    pass
-
-        fit_thread = threading.Thread(target=_run_fit, name="mobray-fit")
-        fit_thread.start()
+        holder, join_fit = _overlapped_fit(feats_meta, cons)
     else:
         model = fit_dataset(feats_meta, "pop", "label", constraints=cons)
 
@@ -651,11 +631,8 @@ def _copartitioned_job(
         num_cpus=1,
     )
     metrics = metrics_ds.to_pandas().sort_values("pid").reset_index(drop=True)
-    if fit_thread is not None:
-        fit_thread.join()
-        if "error" in fit_box:
-            raise fit_box["error"]
-        model = fit_box["model"]
+    if join_fit is not None:
+        model = join_fit()
     return metrics, model
 
 
