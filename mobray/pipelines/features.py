@@ -178,7 +178,6 @@ class PayloadStage(_ModelBound):
             ["attr"], ["attr"], num_buckets,
         )
 
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.decode(batch)
         # payloads (and the per-row reference thumbs, already consumed by
@@ -285,7 +284,6 @@ class CoPartitionedShardStage(_ModelBound):
         self.windows = make_window_post_fn(session_gap=session_gap)
         self.budget = decoded_budget_bytes
         self.expansion = expansion
-
 
     def _one_shard(self, img_path: str, attr_path: str, pid: int) -> dict:
         import pyarrow.parquet as pq
