@@ -849,6 +849,46 @@ def q_asof_tolerance_events(sf_dir):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def q_asof_copartitioned_events(sf_dir):
+    """The SHUFFLE-FREE co-partitioned as-of join (zero-exchange scale
+    path; mobray/pipelines/temporal.py:asof_join_copartitioned): events
+    are hash-bucketed by user into aligned (views, purchases) parquet
+    pairs under /tmp, then each pair joins locally. Must equal the same
+    DuckDB ASOF oracle as the exchange-based asof_join_events."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mobray.pipelines.temporal import _hash_bucket, asof_join_copartitioned
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).to_pandas()
+    views = ev[ev["event_type"] == "view"][["event_id", "user_id", "ts"]]
+    purch = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    k = 4
+    d = tempfile.mkdtemp(prefix="mobray_cop_asof_")
+    pairs = []
+    for b in range(k):
+        lp = os.path.join(d, f"views-{b}.parquet")
+        rp = os.path.join(d, f"purch-{b}.parquet")
+        lm = _hash_bucket(views["user_id"].to_numpy(), k) == b
+        rm = _hash_bucket(purch["user_id"].to_numpy(), k) == b
+        pq.write_table(pa.Table.from_pandas(views[lm], preserve_index=False), lp)
+        pq.write_table(pa.Table.from_pandas(purch[rm], preserve_index=False), rp)
+        pairs.append((lp, rp))
+    out = asof_join_copartitioned(
+        pairs, key="user_id", ts="ts", right_cols=["value"]
+    )
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]), batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def q_quality_docs(sf_dir):
     import numpy as np
     import ray.data
@@ -912,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "phash_neardup_docs": q_phash_neardup_docs,
         "asof_tolerance_events": q_asof_tolerance_events,
+        "asof_copartitioned_events": q_asof_copartitioned_events,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "simhash_clusters_docs": q_simhash_clusters_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -1354,6 +1395,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT user_id, ts, value FROM events
                   WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "asof_copartitioned_events": """
+            SELECT l.event_id, l.user_id, r.value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='view') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
               ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         "simhash_pairs_docs": _simhash_oracle_sql(),

@@ -475,6 +475,93 @@ def asof_join_broadcast(
     return left.map_batches(fn, batch_format="pandas")
 
 
+def asof_join_copartitioned(
+    pairs: Sequence,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    post_fn=None,
+    validate: bool = True,
+    concurrency=None,
+):
+    """Shuffle-free as-of join over CO-PARTITIONED parquet file pairs.
+
+    ``pairs`` is a sequence of (left_path, right_path): file pair i must
+    hold the SAME key set on both sides (the layout a feature store
+    maintains by hash- or range-bucketing both tables on the key at
+    write time). Each pair then joins entirely LOCALLY — read both
+    files, one vectorized ``pd.merge_asof``, optional fused ``post_fn``
+    (windows etc.) — and nothing is exchanged: the operator is
+    embarrassingly parallel at the file-pair count and is the shape the
+    flagship job uses at 100 TB (pipelines/features.py).
+
+    PARTITIONING ASSUMPTION: a key whose left rows live in pair i but
+    whose right rows live in pair j != i would silently miss matches.
+    ``validate=True`` checks the locally-checkable half (every right key
+    present in the pair's left keys) and raises with guidance to the
+    exchange-based ``asof_join``; global misplacement on the LEFT side
+    cannot be detected locally and is the caller's layout contract.
+
+    Returns a lazy Dataset of joined rows (one output block per pair)."""
+    import ray.data
+
+    tol = (
+        pd.Timedelta(tolerance)
+        if tolerance is not None and not isinstance(tolerance, pd.Timedelta)
+        else tolerance
+    )
+    rcols = list(right_cols)
+
+    def join_pair(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for row in batch.to_pylist():
+            ldf = pq.read_table(row["left_path"]).to_pandas()
+            rt = pq.read_table(
+                row["right_path"], columns=[key, ts] + rcols
+            ).to_pandas()
+            if validate:
+                extra = set(rt[key].unique()) - set(ldf[key].unique())
+                if extra:
+                    raise ValueError(
+                        f"co-partitioning violated in pair "
+                        f"{row['left_path']!r}: {len(extra)} right-side "
+                        f"keys absent from the left file (e.g. "
+                        f"{sorted(extra)[:3]}); use the exchange-based "
+                        f"asof_join for unaligned inputs"
+                    )
+            rename = {c: c + suffix for c in rcols if c in ldf.columns}
+            if rename:
+                rt = rt.rename(columns=rename)
+            merged = pd.merge_asof(
+                ldf.sort_values(ts, kind="stable"),
+                rt.sort_values(ts, kind="stable"),
+                on=ts,
+                by=key,
+                direction=direction,
+                tolerance=tol,
+                allow_exact_matches=allow_exact_matches,
+            )
+            if post_fn is not None:
+                merged = post_fn(merged)
+            outs.append(table_from_pandas(merged))
+        return pa.concat_tables(outs)
+
+    items = ray.data.from_items(
+        [{"left_path": str(l), "right_path": str(r)} for l, r in pairs]
+    ).repartition(max(1, len(pairs)))
+    kwargs = {"batch_format": "pyarrow", "batch_size": 1}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return items.map_batches(join_pair, **kwargs)
+
+
 def hopping_window(
     ds,
     key: str,

@@ -510,3 +510,91 @@ class TestPadPrecision:
         )
         assert out["h"].dtype == np.int64
         assert np.array_equal(out["h"].to_numpy(), big)
+
+
+class TestAsofCopartitioned:
+    def test_matches_exchange_asof(self, ray_session, tmp_path):
+        """asof_join_copartitioned over hash-aligned file pairs must
+        equal the exchange-based asof_join on the same data (incl. the
+        tolerance variant)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from mobray.pipelines.temporal import (
+            _hash_bucket,
+            asof_join,
+            asof_join_copartitioned,
+        )
+
+        rng = np.random.RandomState(8)
+        n = 4000
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 50, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+                "x": rng.normal(size=n),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(0, 50, n // 2),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n // 2), unit="s"),
+                "v": rng.normal(size=n // 2),
+            }
+        )
+        # co-partition both sides by hash(k) % 4
+        pairs = []
+        for b in range(4):
+            lp, rp = tmp_path / f"l{b}.parquet", tmp_path / f"r{b}.parquet"
+            lm = _hash_bucket(left["k"].to_numpy(), 4) == b
+            rm = _hash_bucket(right["k"].to_numpy(), 4) == b
+            pq.write_table(pa.Table.from_pandas(left[lm], preserve_index=False), lp)
+            pq.write_table(pa.Table.from_pandas(right[rm], preserve_index=False), rp)
+            pairs.append((lp, rp))
+
+        for tol in (None, "1h"):
+            got = (
+                asof_join_copartitioned(
+                    pairs, key="k", ts="ts", right_cols=["v"], tolerance=tol
+                )
+                .to_pandas()
+                .sort_values(["k", "ts", "x"])
+                .reset_index(drop=True)
+            )
+            want = (
+                asof_join(
+                    ray.data.from_pandas(left).repartition(3),
+                    ray.data.from_pandas(right).repartition(2),
+                    key="k", ts="ts", right_cols=["v"], num_buckets=8,
+                    tolerance=tol,
+                )
+                .to_pandas()
+                .sort_values(["k", "ts", "x"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[sorted(got.columns)], want[sorted(want.columns)],
+                check_like=True,
+            )
+
+    def test_violation_raises(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mobray.pipelines.temporal import asof_join_copartitioned
+
+        lp, rp = tmp_path / "l.parquet", tmp_path / "r.parquet"
+        ts = pd.to_datetime(["2024-01-01"] * 2)
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"k": [1, 2], "ts": ts, "x": [0.0, 1.0]})), lp
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"k": [1, 99], "ts": ts, "v": [5.0, 6.0]})), rp
+        )
+        with pytest.raises(Exception, match="co-partitioning violated"):
+            asof_join_copartitioned(
+                [(lp, rp)], key="k", ts="ts", right_cols=["v"]
+            ).to_pandas()
