@@ -504,6 +504,7 @@ def embedding_neardup_pairs(
     seed: int = 11,
     dim: Optional[int] = None,
     output: str = "pandas",
+    ship: str = "vectors",
 ):
     """Embedding-cosine near-dup pairs via multi-table random-hyperplane
     LSH, returned as a sorted pandas DataFrame (a, b, cosine) by
@@ -516,16 +517,24 @@ def embedding_neardup_pairs(
     unioned across tables. Recall for a pair at cosine c is
     1 - (1 - (1 - acos(c)/pi)^n_planes)^n_tables — multiple small
     tables beat one large table because a single flipped sign only
-    kills one table. Rows explode x n_tables in the shuffle, but each
-    row is just (bucket, id, vector) — and the replicated vector copy is
-    downcast to float32 when the source is wider (the cosine verify is
-    threshold-based, so the ~1e-7 relative rounding is immaterial; at
-    n_tables=4 the cast halves the exchange's dominant byte stream).
-    The alternative of shipping (bucket, id) only and hash-joining
-    vectors back for the verify trades this replication for TWO extra
-    all-to-alls over the full embedding table plus a candidate-pair
-    exchange that is quadratic in bucket size — worse whenever pairs
-    are sparse, which is the operating regime of a near-dup pass."""
+    kills one table.
+
+    ``ship`` picks the exchange byte profile:
+      - 'vectors' (default): rows explode x n_tables in the shuffle, but
+        each row is just (bucket, id, vector) and the replicated vector
+        copy is downcast to float32 when the source is wider (the cosine
+        verify is threshold-based, so the ~1e-7 relative rounding is
+        immaterial). One shuffle; right whenever vector bytes x n_tables
+        fits the exchange budget.
+      - 'ids': the LSH shuffle carries ONLY (bucket, id) rows (~16
+        bytes x n_tables); singleton buckets — the overwhelming majority
+        under selective n_planes — are pruned BEFORE any vector moves,
+        then vectors join back for just the surviving candidate rows and
+        one more bucket groupby runs the same matmul verify. Three
+        exchanges, but vector bytes proportional to CANDIDATES rather
+        than corpus x n_tables — the scale path for wide embeddings
+        (e.g. 4 KB float32 vectors at 100 TB) where candidates are a
+        tiny fraction of rows."""
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
@@ -576,10 +585,97 @@ def embedding_neardup_pairs(
                     pairs.append((lo, hi, float(sims[i, j])))
         return _pairs_table(pairs, id_dtype, "cosine", pa.float64())
 
-    bucketed, _ = _with_dedup_bucket(
-        ds.map_batches(add_bucket, batch_format="pyarrow"), "bucket"
+    if ship == "vectors":
+        bucketed, _ = _with_dedup_bucket(
+            ds.map_batches(add_bucket, batch_format="pyarrow"), "bucket"
+        )
+        pairs_ds = bucketed.groupby("__dbkt").map_groups(
+            verify, batch_format="pandas"
+        )
+        return _finalize_pairs(pairs_ds, "cosine", output, id_col)
+    if ship != "ids":
+        raise ValueError(f"unknown ship mode {ship!r}")
+
+    from mobray.pipelines.relational import hash_join
+
+    def add_bucket_ids(batch: pa.Table) -> pa.Table:
+        emb = embedding_matrix(batch[emb_col])
+        n = len(emb)
+        keys = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (emb @ planes[t]) > 0
+            key = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            keys[t] = key + (t << np.int64(48))
+        ids = batch[id_col]
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel(), pa.int64()),
+                "doc": pa.concat_arrays([ids.combine_chunks()] * n_tables),
+            }
+        )
+
+    def prune_singletons(g: pd.DataFrame):
+        keep = g[g.groupby("bucket")["doc"].transform("size") >= 2]
+        return table_from_pandas(keep[["bucket", "doc"]])
+
+    import ray
+
+    id_buckets, _ = _with_dedup_bucket(
+        ds.map_batches(add_bucket_ids, batch_format="pyarrow"), "bucket"
     )
-    pairs_ds = bucketed.groupby("__dbkt").map_groups(verify, batch_format="pandas")
+    candidates = id_buckets.groupby("__dbkt").map_groups(
+        prune_singletons, batch_format="pandas"
+    )
+    # barrier between the all-to-alls (a groupby chained LAZILY into
+    # another exchange deadlocks the streaming executor — same pathology
+    # the connected-components supersteps document); candidates are tiny
+    # by construction in the ship='ids' regime, so this is cheap
+    candidates = candidates.materialize().repartition(8)
+    # broadcast the candidate-id SET once (ray.put) and semi-filter the
+    # embedding table MAP-SIDE: non-candidate vectors never leave their
+    # block. A generic distributed join here would re-shuffle the whole
+    # vector table and void the point of shipping ids. The broadcast set
+    # bounds this mode: candidate ids must fit the object store — which
+    # is exactly the selective-LSH regime ship='ids' exists for.
+    cand_ids = np.unique(
+        candidates.select_columns(["doc"]).to_pandas()["doc"].to_numpy()
+    )
+    cand_ref = ray.put(cand_ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids_np, wanted)
+        kept = batch.filter(pa.array(mask))
+        # normalize to a PLAIN list<double>: tensor-extension columns
+        # cannot survive the padded union's null slots (their pandas
+        # reconstruction rejects chunked null extension arrays)
+        if kept.num_rows:
+            m = embedding_matrix(kept[emb_col])
+            offs = np.arange(
+                0, (len(m) + 1) * m.shape[1], m.shape[1], dtype=np.int32
+            )
+            emb_arr = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(m.ravel(), pa.float64())
+            )
+        else:
+            emb_arr = pa.array([], pa.list_(pa.float64()))
+        return pa.table(
+            {"doc": kept[id_col].combine_chunks(), "emb": emb_arr}
+        )
+
+    pruned_vecs = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    # candidate-sized x candidate-sized equi join; the padded exchange
+    # avoids the native join's per-partition aggregator actors (which
+    # deadlock small CPU allocations at high partition counts)
+    with_vec = hash_join(
+        candidates, pruned_vecs, on="doc", how="inner",
+        right_cols=["emb"], num_buckets=16, engine="padded",
+    )
+    bucketed, _ = _with_dedup_bucket(with_vec, "bucket")
+    pairs_ds = bucketed.groupby("__dbkt").map_groups(
+        verify, batch_format="pandas"
+    )
     return _finalize_pairs(pairs_ds, "cosine", output, id_col)
 
 

@@ -523,3 +523,26 @@ class TestPairOutputModes:
             output="dataset",
         )
         assert set(zip(*out.to_pandas()[["a", "b"]].to_numpy().T)) == {(3, 7)}
+
+    def test_ship_ids_equals_ship_vectors(self, ray_session):
+        """The (bucket, id)-only exchange with vector join-back must find
+        exactly the pairs the vector-shipping exchange finds."""
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        base = rng.normal(size=(40, 16))
+        emb = base.copy()
+        emb[7] = base[3] + rng.normal(scale=0.01, size=16)
+        emb[21] = base[11] + rng.normal(scale=0.01, size=16)
+        df = pd.DataFrame({"vec_id": range(40), "embedding": list(emb)})
+        ds = ray.data.from_pandas(df).repartition(3)
+        kw = dict(threshold=0.95, n_planes=8, n_tables=4)
+        want = embedding_neardup_pairs(ds, "embedding", "vec_id", **kw)
+        got = embedding_neardup_pairs(
+            ds, "embedding", "vec_id", ship="ids", **kw
+        )
+        assert list(zip(got["a"], got["b"])) == list(zip(want["a"], want["b"]))
+        assert {(3, 7), (11, 21)} <= set(zip(got["a"], got["b"]))
+        np.testing.assert_allclose(
+            got["cosine"].to_numpy(), want["cosine"].to_numpy(), rtol=1e-6
+        )
