@@ -156,3 +156,30 @@ class TestBinaryViews:
         v0, v1 = binary_views(arr)
         assert np.array_equal(np.frombuffer(v0, dtype=np.uint8), np.arange(64))
         assert zlib.decompress(v1) == payload
+
+
+class TestReadParquetClean:
+    def test_strips_unhashable_metadata(self, ray_session, tmp_path):
+        """pandas-written parquet carries schema metadata that makes
+        pa.Schema unhashable (defeating Ray Data's schema-dedup fast
+        path); the clean reader must deliver hashable block schemas,
+        with and without column pruning."""
+        import pyarrow.parquet as pa_pq
+
+        from mobray.sources.readers import read_parquet_clean
+
+        df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5] * 3})
+        p = str(tmp_path / "t.parquet")
+        df.to_parquet(p)
+        raw_schema = pa_pq.read_schema(p)
+        with pytest.raises(TypeError):
+            hash(raw_schema)
+
+        for cols in (None, ["a", "c"]):
+            ds = read_parquet_clean(p, columns=cols)
+            t = ds.take_batch(3, batch_format="pyarrow")
+            assert not t.schema.metadata
+            hash(t.schema)  # must not raise
+            if cols:
+                assert t.schema.names == cols
+        assert read_parquet_clean(p).count() == 3
