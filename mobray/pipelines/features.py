@@ -1,10 +1,20 @@
 """The flagship pipeline: monotonic binning inside a point-in-time +
 windowed feature job over the image+caption table (the north star).
 
-Stages and their exchanges:
+Two exchange topologies, selected by ``full_job(exchange=...)``:
+
+COPARTITIONED (default on the entity-aligned shard layout — ZERO
+exchange): the metadata-only fit pass runs CONCURRENTLY (ModelHolder
+rendezvous) while each (image shard, attrs shard) pair executes as one
+self-contained task — chunked byte-budgeted decode/verify with fused
+gates, feature + model scoring, local merge_asof, window features,
+checkpointed write. Resume skips finished shards before reading a byte.
+
+SHUFFLE (any layout):
 
   pass 1 (metadata only, bytes column never read):
     read -> image_feature_stage -> fit_dataset(pop, label)   tiny shuffle
+    (overlapped with pass 2 by default — the model binds on first use)
   pass 2 (the payload pass — ONE execution, ONE read of bytes):
     read all columns
       -> DecodeVerifyStage actor pool    decode, PSNR/phash gates,
@@ -15,8 +25,11 @@ Stages and their exchanges:
          lag/lead/backfill/sessionize    windows + the checkpointed
          + partition write (post_fn)     write run inside the same
                                          per-bucket pass
-  per-partition manifests carry rows/bytes/hash AND the decode gate
-  counts (lineage doubles as the verification record).
+
+Outputs are BIT-identical across both topologies (tested); only the
+partition layout differs (entity-range shards vs hash buckets). The
+per-partition manifests carry rows/bytes/hash AND the decode gate
+counts (lineage doubles as the verification record).
 
 ``decode_verification_report`` remains available as a standalone
 verification-only pass (used by tests and ad-hoc audits).
