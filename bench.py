@@ -340,6 +340,14 @@ def main() -> None:
     warm_cache()
     warm_workers()
 
+    # hardware probe BEFORE the timed queries: this VM's effective speed
+    # fluctuates ~2x between minute-scale windows, and a single-run bench
+    # number is unadjudicable without a machine-state reading next to it
+    # (the round-4 side-query regressions could not be attributed for
+    # exactly this reason). A second probe after the queries brackets the
+    # run: a mid-run window flip shows up as probe disagreement.
+    probe_before = cpu_probe(NUM_CPUS)
+
     queries = {}
     # best-of-N headline: this sandbox VM's CPU allocation is bursty, so a
     # single run can catch a throttled window; min of N is the standard
@@ -358,6 +366,7 @@ def main() -> None:
         queries["minhash_docs"] = round(bench_minhash_docs(), 3)
         queries["knn_embeddings"] = round(bench_knn(), 3)
 
+    probe_after = cpu_probe(NUM_CPUS)
     result = {
         "metric": "image_feature_pipeline_sec",
         "value": round(headline_sec, 3),
@@ -367,6 +376,8 @@ def main() -> None:
         "feature_rows_per_sec": round(feature_rows / headline_sec, 1),
         "sf": _sf_value(),
         "num_cpus": NUM_CPUS,
+        "probe_mops_before": probe_before,
+        "probe_mops_after": probe_after,
     }
     # a subset-of-shards run must be visibly distinguishable from a
     # full-table headline (scaling() already records the marker)

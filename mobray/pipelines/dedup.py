@@ -672,6 +672,11 @@ def embedding_neardup_pairs(
         candidates, pruned_vecs, on="doc", how="inner",
         right_cols=["emb"], num_buckets=16, engine="padded",
     )
+    # barrier between the join all-to-all and the verify groupby — the
+    # same streaming-executor pathology as the candidates step above
+    # (lazily chained exchanges deadlock small CPU allocations); the
+    # joined table is candidate-sized, so materializing it is cheap
+    with_vec = with_vec.materialize().repartition(8)
     bucketed, _ = _with_dedup_bucket(with_vec, "bucket")
     pairs_ds = bucketed.groupby("__dbkt").map_groups(
         verify, batch_format="pandas"

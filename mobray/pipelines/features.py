@@ -149,6 +149,13 @@ class _ModelBound:
             model, "pop", {"pop_woe": "woe", "pop_bin": "interval"}
         )
 
+    # fit-poll deadline: if the fit thread dies AND its set_error
+    # delivery itself fails, an unbounded poll would hang the payload
+    # actors forever while the driver blocks on metrics collection — a
+    # silent deadlock. The metadata fit is seconds; minutes of silence
+    # means it is never coming.
+    MODEL_WAIT_S = 300.0
+
     def _ensure_model(self) -> None:
         if self.score is not None:
             return
@@ -156,11 +163,19 @@ class _ModelBound:
 
         import ray as _ray
 
+        deadline = _time.monotonic() + self.MODEL_WAIT_S
         while True:
             model = _ray.get(self._holder.get.remote())
             if model is not None:
                 self._bind(model)
                 return
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"overlapped fit produced no model within "
+                    f"{self.MODEL_WAIT_S:.0f}s — the fit thread likely "
+                    f"died without reaching the ModelHolder; rerun with "
+                    f"overlap_fit=False to fit serially"
+                )
             _time.sleep(0.05)
 
 
@@ -312,14 +327,22 @@ class CoPartitionedShardStage(_ModelBound):
                 "n_decode_ok": None, "n_phash_match": None,
                 "n_psnr_ge_40": None,
             }
-        t = pq.read_table(img_path)
-        mean_bytes = max(
-            1.0, sum(t[c].nbytes for c in t.schema.names) / max(1, len(t))
+        # STREAM the shard: per-task memory must be bound by the decode
+        # budget, not the shard size (a whole-shard read_table held the
+        # full bytes column before chunking — fine at ~70 MB shards, an
+        # unchecked contract at 100x). Row width comes from the footer
+        # (uncompressed row-group bytes / rows), so no payload byte is
+        # read before the budget-sized chunking is in place.
+        pf = pq.ParquetFile(img_path)
+        md = pf.metadata
+        raw_bytes = sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
         )
+        mean_bytes = max(1.0, raw_bytes / max(1, md.num_rows))
         chunk = max(64, int(self.budget / (mean_bytes * self.expansion)))
         parts = []
-        for off in range(0, len(t), chunk):
-            c = self.decode(t.slice(off, chunk))
+        for rb in pf.iter_batches(batch_size=chunk):
+            c = self.decode(pa.Table.from_batches([rb]))
             drop = ["bytes"] + (
                 ["ref_thumb"] if "ref_thumb" in c.schema.names else []
             )

@@ -183,3 +183,32 @@ class TestReadParquetClean:
             if cols:
                 assert t.schema.names == cols
         assert read_parquet_clean(p).count() == 3
+
+    def test_homogeneous_shard_dir_gets_clean_schema(self, ray_session, tmp_path):
+        from mobray.sources.readers import read_parquet_clean
+
+        d = tmp_path / "shards"
+        d.mkdir()
+        for i in range(3):
+            pd.DataFrame({"a": [i], "b": [float(i)]}).to_parquet(
+                str(d / f"s{i}.parquet")
+            )
+        ds = read_parquet_clean(str(d))
+        t = ds.take_batch(3, batch_format="pyarrow")
+        assert not t.schema.metadata
+        assert ds.count() == 3
+
+    def test_heterogeneous_shards_fall_back_not_coerce(
+        self, ray_session, tmp_path
+    ):
+        """Shards with different schemas must NOT be silently coerced to
+        the first shard's footer schema — the reader falls back to plain
+        read_parquet (losing only the schema-dedup fast path)."""
+        from mobray.sources.readers import read_parquet_clean
+
+        d = tmp_path / "hetero"
+        d.mkdir()
+        pd.DataFrame({"a": [1], "b": [1.0]}).to_parquet(str(d / "s0.parquet"))
+        pd.DataFrame({"a": [2], "c": ["x"]}).to_parquet(str(d / "s1.parquet"))
+        ds = read_parquet_clean(str(d))
+        assert ds.count() == 2  # plain reader semantics, no schema override
