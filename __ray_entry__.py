@@ -50,6 +50,17 @@ def _register_by_value() -> None:
 
 _register_by_value()
 
+try:
+    # drop ONLY Ray's benign empty-schema divergence warning (its sort
+    # reduce emits zero-column blocks for empty range partitions); typed
+    # schema mismatches still warn — see functions/rayutils.py
+    from mobray.functions.rayutils import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
+except Exception:
+    pass
+
+
 def _read(path, columns=None, **kwargs):
     """read_parquet with a metadata-free schema: testdata parquet carries
     pandas schema metadata that makes pa.Schema unhashable, defeating Ray

@@ -20,6 +20,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from mobray.functions.rayutils import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
     yield
     ray.shutdown()
 

@@ -212,3 +212,41 @@ class TestReadParquetClean:
         pd.DataFrame({"a": [2], "c": ["x"]}).to_parquet(str(d / "s1.parquet"))
         ds = read_parquet_clean(str(d))
         assert ds.count() == 2  # plain reader semantics, no schema override
+
+
+class TestEmptySchemaWarningFilter:
+    def test_drops_only_the_empty_schema_variant(self):
+        import logging
+
+        from mobray.functions.rayutils import (
+            _DropEmptySchemaWarning,
+            install_empty_schema_warning_filter,
+        )
+
+        f = _DropEmptySchemaWarning()
+
+        def rec(msg):
+            return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+        benign = (
+            "Operator produced a RefBundle with a different schema than the "
+            "previous one. Previous schema: a: int64, new schema: . This may "
+            "lead to unexpected behavior."
+        )
+        real = (
+            "Operator produced a RefBundle with a different schema than the "
+            "previous one. Previous schema: a: int64, new schema: b: double. "
+            "This may lead to unexpected behavior."
+        )
+        assert f.filter(rec(benign)) is False
+        assert f.filter(rec(real)) is True
+        assert f.filter(rec("unrelated message")) is True
+
+        # idempotent install
+        install_empty_schema_warning_filter()
+        install_empty_schema_warning_filter()
+        logger = logging.getLogger(
+            "ray.data._internal.execution.streaming_executor_state"
+        )
+        n = sum(isinstance(x, _DropEmptySchemaWarning) for x in logger.filters)
+        assert n == 1
