@@ -474,6 +474,72 @@ def q_orders_bigkey_join(sf_dir):
     )
 
 
+def q_orders_anti_join(sf_dir):
+    """Anti join: orders whose customer is NOT in the BUILDING segment
+    (semi_join(anti=True), mobray/pipelines/relational.py:254-316)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mobray.pipelines.relational import semi_join
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey"]),
+                  batch_format="pyarrow")
+    building = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+    out = semi_join(orders, building, on="custkey", anti=True, num_buckets=16)
+    out = out.map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_hotkey_join(sf_dir):
+    """Skew-safe salt-and-replicate join (hash_join_salted): one customer
+    key is made to hold ~30% of all orders, then the join must still
+    produce exactly the plain-join rows. The hot key's left rows scatter
+    across 8 salts and only the right side's hot rows replicate."""
+    import numpy as np
+    import ray.data
+
+    from mobray.pipelines.relational import hash_join_salted
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def make_hot(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        hot = _np.where(ok % 10 < 3, _np.int64(1), ck)
+        t = t.append_column("custkey", _pa.array(hot, _pa.int64()))
+        return t.select(["o_orderkey", "custkey"])
+
+    left = orders.map_batches(make_hot, batch_format="pyarrow")
+    customer = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join_salted(
+        left, customer, on="custkey", hot_keys=[1], salt=8,
+        right_cols=["c_mktsegment"], num_buckets=16,
+    )
+    out = joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return out[["o_orderkey", "custkey", "c_mktsegment"]].astype(
+        {"o_orderkey": "int64", "custkey": "int64"}
+    )
+
+
 def q_top_orders(sf_dir):
     """Global sort + limit: top-10 orders by total price."""
     import ray.data
@@ -659,6 +725,35 @@ def q_knn_ivf(sf_dir):
     return out[["vec_id"]]
 
 
+def q_knn_batch_dataset(sf_dir):
+    """Many-query knn through the DATASET-returning merge path
+    (output='dataset': per-query groupby top-k, nothing on the driver
+    until this query's final to_pandas; simsearch.py:_finalize_topk).
+    Queries = the vectors of vec_id 0..2, so query_id == vec_id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mobray.pipelines.simsearch import knn_bruteforce
+
+    qt = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(3)
+    )
+    queries = np.array(qt["embedding"].tolist(), dtype=float)
+    ds = _read(f"{sf_dir}/embeddings.parquet")
+    out = knn_bruteforce(
+        ds, "embedding", "vec_id", queries, k=5, output="dataset"
+    ).to_pandas()
+    out = out.rename(columns={"id": "vec_id"})
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )
+
+
 def q_minhash_dedup_docs(sf_dir):
     """MinHash+LSH near-dup clusters; oracle = independent single-node
     naive reimplementation of the same spec (mobray/oracle/naive.py)."""
@@ -726,9 +821,13 @@ _PLANT_DELTA = 0.05
 _EMB_THRESHOLD = 0.98
 
 
-def q_embedding_neardup(sf_dir):
+def _embedding_neardup(sf_dir, ship: str):
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
-    with exact in-bucket verification, on base + planted vectors."""
+    with exact in-bucket verification, on base + planted vectors.
+    ``ship`` selects the exchange byte profile (dedup.py:496-690):
+    'vectors' replicates vectors x n_tables through one shuffle; 'ids'
+    ships only (bucket, id) rows, prunes singletons map-side, and joins
+    vectors back candidate-sized."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -755,9 +854,21 @@ def q_embedding_neardup(sf_dir):
     un = base.union(ray.data.from_arrow(planted))
     pairs = embedding_neardup_pairs(
         un, "embedding", "vec_id",
-        threshold=_EMB_THRESHOLD, n_planes=6, n_tables=4,
+        threshold=_EMB_THRESHOLD, n_planes=6, n_tables=4, ship=ship,
     )
     return pairs[["a", "b"]].astype({"a": "int64", "b": "int64"})
+
+
+def q_embedding_neardup(sf_dir):
+    return _embedding_neardup(sf_dir, "vectors")
+
+
+def q_embedding_neardup_ids(sf_dir):
+    """Same fixture and oracle as q_embedding_neardup, through the
+    candidate-proportional ship='ids' scale path (the 100-TB profile for
+    wide vectors: LSH shuffle carries ~16 bytes x n_tables per row and
+    vector bytes move only for surviving candidates)."""
+    return _embedding_neardup(sf_dir, "ids")
 
 
 # phash near-dup fixture: a synthetic int64 hash column derived
@@ -948,7 +1059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "orders_customer_join": q_orders_customer_join,
         "orders_semi_join": q_orders_semi_join,
+        "orders_anti_join": q_orders_anti_join,
         "orders_bigkey_join": q_orders_bigkey_join,
+        "orders_hotkey_join": q_orders_hotkey_join,
         "top_orders": q_top_orders,
         "group_centroids": q_group_centroids,
         "hopping_events": q_hopping_events,
@@ -960,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_join": q_customer_nation_join,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_batch_dataset": q_knn_batch_dataset,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "phash_neardup_docs": q_phash_neardup_docs,
         "asof_tolerance_events": q_asof_tolerance_events,
@@ -968,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters_docs": q_simhash_clusters_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_ids": q_embedding_neardup_ids,
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
     }
@@ -978,6 +1093,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 _ORACLE_CACHE: dict = {}
+
+# shared by embedding_neardup (ship='vectors') and embedding_neardup_ids
+# (ship='ids'): both exchange profiles must produce the same pair set
+_EMB_NEARDUP_SQL = f"""
+    WITH planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_prepend(embedding[1] + {_PLANT_DELTA},
+                          embedding[2:]) AS embedding
+      FROM embeddings WHERE vec_id < {_PLANT_K}
+    ), all_vecs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding)
+          >= {_EMB_THRESHOLD}
+    ORDER BY 1, 2
+"""
 
 
 def _sql_lit(v) -> str:
@@ -1279,6 +1413,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
         """,
+        "orders_anti_join": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "orders_hotkey_join": """
+            WITH l AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 < 3 THEN 1
+                          ELSE o_custkey END AS custkey
+              FROM orders)
+            SELECT l.o_orderkey, CAST(l.custkey AS BIGINT) AS custkey,
+                   c.c_mktsegment
+            FROM l JOIN customer c ON l.custkey = c.c_custkey
+        """,
         "orders_bigkey_join": """
             SELECT o.o_orderkey,
                    o.o_orderkey * CAST(1099511627776 AS BIGINT)
@@ -1348,6 +1499,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
             LIMIT 5
         """,
+        "knn_batch_dataset": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings ORDER BY vec_id LIMIT 3)
+            SELECT query_id, rank, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(
+                           e.embedding, q.embedding) DESC) AS rank
+                FROM embeddings e, q)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "quality_docs": r"""
             WITH m AS (
               SELECT doc_id,
@@ -1379,22 +1542,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred
             FROM m ORDER BY doc_id
         """,
-        "embedding_neardup": f"""
-            WITH planted AS (
-              SELECT vec_id + 1000000 AS vec_id,
-                     list_prepend(embedding[1] + {_PLANT_DELTA},
-                                  embedding[2:]) AS embedding
-              FROM embeddings WHERE vec_id < {_PLANT_K}
-            ), all_vecs AS (
-              SELECT vec_id, embedding FROM embeddings
-              UNION ALL SELECT vec_id, embedding FROM planted
-            )
-            SELECT a.vec_id AS a, b.vec_id AS b
-            FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding)
-                  >= {_EMB_THRESHOLD}
-            ORDER BY 1, 2
-        """,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "embedding_neardup_ids": _EMB_NEARDUP_SQL,
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "phash_neardup_docs": _phash_neardup_oracle_sql(),
         "asof_tolerance_events": """

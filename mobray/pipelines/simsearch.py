@@ -149,28 +149,46 @@ def knn_ivf(
     cref = ray.put(centroids)
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         qm, probe_lists = ray.get(qref)
         cent = ray.get(cref)
+        nq = qm.shape[0]
         emb = _normalize(embedding_matrix(batch[emb_col]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
         cell = (emb @ cent.T).argmax(axis=1)
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(qm.shape[0]):
-            mask = np.isin(cell, probe_lists[qi])
-            if not mask.any():
-                continue
-            sims = emb[mask] @ qm[qi]
-            sub_ids = ids[mask]
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.extend([qi] * kk)
-            out_id.extend(sub_ids[top].tolist())
-            out_sim.extend(sims[top].tolist())
+        # allowed[c, q] = centroid c is among query q's probe cells; one
+        # gather turns it into the (rows x queries) visibility mask — no
+        # per-query Python loop (the old shape: ~nq isin+matmul passes)
+        allowed = np.zeros((len(cent), nq), dtype=bool)
+        allowed[
+            probe_lists.ravel(),
+            np.repeat(np.arange(nq, dtype=np.int64), probe_lists.shape[1]),
+        ] = True
+        mask = allowed[cell]  # (rows, nq)
+        rows_keep = np.flatnonzero(mask.any(axis=1))
+        id_arr = batch[id_col].combine_chunks()
+        if len(rows_keep) == 0:
+            # typed empty (pc.take keeps the id dtype for empty output)
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "id": pc.take(id_arr, pa.array([], pa.int64())),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = emb[rows_keep] @ qm.T  # (kept_rows, nq) — ONE matmul
+        np.copyto(sims, -np.inf, where=~mask[rows_keep])
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        top_sims = np.take_along_axis(sims, top, axis=0)
+        valid = np.isfinite(top_sims)  # a query may probe < kk rows here
+        qq = np.broadcast_to(np.arange(nq, dtype=np.int64), (kk, nq))
+        row_idx = rows_keep[top[valid]]
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "id": pa.array(out_id),
-                "cosine": pa.array(out_sim, pa.float64()),
+                "query_id": pa.array(qq[valid], pa.int64()),
+                "id": pc.take(id_arr, pa.array(row_idx, pa.int64())),
+                "cosine": pa.array(top_sims[valid], pa.float64()),
             }
         )
 

@@ -54,6 +54,88 @@ class TestFitSkew:
         assert spread_rows <= 14      # 10 groups + ydist + meta
 
 
+class TestJoinKeySkew:
+    def _skewed_tables(self):
+        """Left: 20k rows, ONE key holds 40%; right: small dim table with
+        2 payload rows for the hot key (so replication correctness — each
+        right row exactly once per left match — is exercised)."""
+        rng = np.random.RandomState(23)
+        n = 20000
+        keys = rng.randint(0, 200, size=n).astype(np.int64)
+        keys[: int(n * 0.4)] = 7  # hot key
+        left = pd.DataFrame(
+            {"k": keys, "lv": np.arange(n, dtype=np.int64)}
+        ).sample(frac=1.0, random_state=5).reset_index(drop=True)
+        right = pd.DataFrame(
+            {
+                "k": np.concatenate([np.arange(150, dtype=np.int64), [7]]),
+                "rv": np.concatenate(
+                    [np.arange(150, dtype=np.int64) * 10, [99999]]
+                ),
+            }
+        )
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_salted_equals_plain(self, ray_session, how):
+        import ray.data
+
+        from mobray.pipelines.relational import hash_join, hash_join_salted
+
+        left, right = self._skewed_tables()
+        lds = ray.data.from_pandas(left).repartition(8)
+        rds = ray.data.from_pandas(right).repartition(2)
+        plain = (
+            hash_join(
+                lds, rds, on="k", how=how, num_buckets=16, engine="padded"
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            hash_join_salted(
+                lds, rds, on="k", how=how, hot_keys=[7], salt=8, num_buckets=16
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert list(salted.columns) == list(plain.columns)
+        pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+    def test_hot_key_spreads_across_buckets(self, ray_session):
+        """The point of salting: the hot key's rows must land in more
+        than one bucket (a plain hash join puts them all in one)."""
+        import ray.data
+
+        from mobray.pipelines.relational import _salted_bucket
+
+        left, _ = self._skewed_tables()
+        hotkv = left.loc[left["k"] == 7, "k"].to_numpy()
+        salts = (np.arange(len(hotkv)) % 8).astype(np.int32)
+        buckets = _salted_bucket(hotkv, salts, 16)
+        assert len(np.unique(buckets)) >= 4
+        # and the per-bucket share of the hot key drops accordingly
+        top = np.bincount(buckets).max() / len(hotkv)
+        assert top <= 0.5
+
+    def test_rejects_degenerate_salt(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.relational import hash_join_salted
+
+        left, right = self._skewed_tables()
+        with pytest.raises(ValueError, match="salt"):
+            hash_join_salted(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="k",
+                hot_keys=[7],
+                salt=1,
+            )
+
+
 class TestEntitySkew:
     def test_hot_entity_sessionize(self, ray_session):
         """One entity holds half of all events; session ids must still be
