@@ -69,6 +69,107 @@ def char_shingles(text: str, k: int = 5) -> List[str]:
     return [t[i : i + k] for i in range(len(t) - k + 1)]
 
 
+_FNV_PRIME64 = np.uint64(1099511628211)
+_FNV_OFFSET64 = np.uint64(1469598103934665603)
+
+
+def splitmix64(k: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, uint64 wraparound): whitens a
+    structured 64-bit value into a uniform one."""
+    k = np.asarray(k, dtype=np.uint64)
+    k = k ^ (k >> np.uint64(30))
+    k = k * np.uint64(0xBF58476D1CE4E5B9)
+    k = k ^ (k >> np.uint64(27))
+    k = k * np.uint64(0x94D049BB133111EB)
+    return k ^ (k >> np.uint64(31))
+
+
+def shingle_hash_stream(texts, k: int = 5):
+    """Vectorized per-document shingle-hash stream for MinHash.
+
+    SPEC (mirrored straight-line by the oracle,
+    mobray/oracle/naive.py:_shingle_hashes):
+      - normalize: lowercase, collapse ``\\s+`` runs to one space, strip
+        leading/trailing spaces (RE2 ``\\s`` = ASCII whitespace; applied
+        to the UTF-8 text);
+      - shingles: k-BYTE windows of the normalized UTF-8 bytes; a
+        non-empty text shorter than k bytes yields ONE shingle (the
+        whole text); empty/null texts yield none;
+      - hash: FNV-1a-style polynomial over the window's bytes
+        (h = offset; h = h*prime + byte, mod 2^64) finished with
+        splitmix64.
+
+    The whole batch is processed as ONE byte buffer: arrow compute
+    kernels normalize, the window-start index vector comes from a
+    repeat/arange expansion, and the rolling hash is k vectorized
+    passes over the buffer — no per-row Python. Returns
+    (hashes uint64 ndarray, per-doc offsets int64 ndarray) in the
+    layout ``minhash_signatures`` consumes.
+
+    Note: windows are BYTE-level (not codepoint-level) — multi-byte
+    UTF-8 sequences hash as their bytes, which is standard practice for
+    shingling throughput (similarity semantics are unchanged: equal
+    text has equal bytes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        list(texts), pa.string()
+    )
+    arr = pc.fill_null(arr, "")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    arr = pc.utf8_trim(arr, " ")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    # zero-copy views of the utf8 layout (offset-adjusted)
+    str_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n_docs + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(str_offsets)
+    counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    out_offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=out_offsets[1:])
+    total = int(counts.sum())
+    hashes = np.empty(total, dtype=np.uint64)
+    # long docs: every k-byte window, all docs at once
+    long_mask = lens >= k
+    if long_mask.any():
+        nw = counts[long_mask]
+        first = str_offsets[:-1][long_mask]
+        # window starts = doc_start + (0..nw_i-1), flattened
+        csum = np.cumsum(nw)
+        starts = np.arange(csum[-1], dtype=np.int64) - np.repeat(
+            csum - nw, nw
+        ) + np.repeat(first, nw)
+        h = np.full(len(starts), _FNV_OFFSET64)
+        for j in range(k):
+            h = h * _FNV_PRIME64 + data[starts + j]
+        # destination slots of long-doc windows: each long doc's
+        # out_offset repeated across its windows plus the window ordinal
+        dpos = np.repeat(out_offsets[long_mask], nw) + (
+            np.arange(csum[-1], dtype=np.int64) - np.repeat(csum - nw, nw)
+        )
+        hashes[dpos] = splitmix64(h)
+    # short docs: one whole-text shingle per length class (< k classes)
+    short_mask = (lens > 0) & (lens < k)
+    for l in np.unique(lens[short_mask]):
+        m = short_mask & (lens == l)
+        first = str_offsets[:-1][m]
+        h = np.full(int(m.sum()), _FNV_OFFSET64)
+        for j in range(int(l)):
+            h = h * _FNV_PRIME64 + data[first + j]
+        hashes[out_offsets[m]] = splitmix64(h)
+    return hashes, out_offsets
+
+
 def word_ngrams(text: str, n: int = 3) -> List[str]:
     toks = text.lower().split()
     if len(toks) < n:

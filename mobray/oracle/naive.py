@@ -11,6 +11,9 @@ cannot reproduce here, which is what makes the comparison a real
 correctness signal.
 
 Specs implemented (mirrors mobray/functions/hashing.py contracts):
+  - minhash shingle hash: k-byte windows of the normalized UTF-8 text,
+    FNV polynomial + splitmix64 finish (plain Python ints here vs the
+    vectorized one-buffer rolling pass in shingle_hash_stream)
   - minhash: h_i(x) = (a_i*x + b_i) mod (2^61 - 1), exact (Python ints)
   - LSH band key: FNV-1a-style polynomial combine of the band's slots
     mod 2^64, then the band index, masked to int64
@@ -44,11 +47,35 @@ def _hash64(values: Sequence) -> List[int]:
     ]
 
 
-def _char_shingles(text: str, k: int) -> List[str]:
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        return [t] if t else []
-    return [t[i : i + k] for i in range(len(t) - k + 1)]
+def _splitmix64(h: int) -> int:
+    h &= _M64
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & _M64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & _M64
+    return h ^ (h >> 31)
+
+
+def _shingle_hashes(text: str, k: int) -> List[int]:
+    """Straight-line mirror of the minhash shingle-hash spec
+    (mobray/functions/hashing.py:shingle_hash_stream): normalize
+    (lower, collapse ASCII \\s+ to one space, strip spaces), k-BYTE
+    windows of the UTF-8 bytes (one whole-text shingle when shorter
+    than k), FNV polynomial per window + splitmix64 finish."""
+    import re
+
+    t = re.sub(r"[ \t\n\v\f\r]+", " ", (text or "").lower()).strip(" ")
+    b = t.encode("utf-8")
+    if not b:
+        return []
+    windows = [b] if len(b) < k else [b[i : i + k] for i in range(len(b) - k + 1)]
+    out = []
+    for w in windows:
+        h = _FNV_OFFSET
+        for c in w:
+            h = (h * _FNV_PRIME + c) & _M64
+        out.append(_splitmix64(h))
+    return out
 
 
 def _word_ngrams(text: str, n: int) -> List[str]:
@@ -59,7 +86,7 @@ def _word_ngrams(text: str, n: int) -> List[str]:
 
 
 def _minhash_sig(text: str, a: List[int], b: List[int], shingle_k: int) -> List[int]:
-    hashes = [h % _P for h in _hash64(_char_shingles(text, shingle_k))]
+    hashes = [h % _P for h in _shingle_hashes(text, shingle_k)]
     if not hashes:
         return [_P] * len(a)
     return [min((ai * x + bi) % _P for x in hashes) for ai, bi in zip(a, b)]

@@ -37,11 +37,11 @@ from mobray.functions.arrowutils import embedding_matrix, table_from_pandas
 from mobray.functions.phash import hamming64
 from mobray.functions.hashing import (
     band_keys_matrix,
-    char_shingles,
     estimate_jaccard,
     jaccard,
     minhash_params,
     minhash_signatures,
+    shingle_hash_stream,
     simhash64_batch,
     stable_hash64,
     word_ngrams,
@@ -162,20 +162,17 @@ def minhash_lsh_dedup(
     def sig_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        texts = batch[text_col].to_pylist()
-        # shingling is row-wise by nature, but ALL hashing is batched:
-        # one stable_hash64 over the batch's concatenated shingles, one
-        # vectorized minhash pass (reduceat over per-doc offsets), one
-        # vectorized band-key combine
-        all_sh: List[str] = []
-        offsets = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            offsets[i] = len(all_sh)
-            all_sh.extend(char_shingles(t or "", shingle_k))
-        hashes = stable_hash64(all_sh) if all_sh else np.empty(0, np.uint64)
+        # fully batched shingling + hashing: arrow kernels normalize the
+        # whole column, one repeat/arange expansion enumerates every
+        # k-byte window over the concatenated buffer, the rolling FNV +
+        # splitmix hash is k vectorized passes (shingle_hash_stream),
+        # then one vectorized minhash pass (reduceat over per-doc
+        # offsets) and one vectorized band-key combine — no per-row
+        # Python anywhere in the signature stage
+        hashes, offsets = shingle_hash_stream(batch[text_col], shingle_k)
         sigs = minhash_signatures(hashes, offsets, a, b)
         keys = band_keys_matrix(sigs, bands)  # (n_docs, bands)
-        n = len(texts)
+        n = batch.num_rows
         # sigs ship as ONE fixed-size-binary buffer (row-major uint64
         # bytes) + a take per band — no per-row .tobytes() Python objects
         sig_arr = pa.FixedSizeBinaryArray.from_buffers(

@@ -260,6 +260,52 @@ class TestHashKernels:
             )
             assert batch[i].tolist() == scalar.tolist(), t
 
+    def test_shingle_hash_stream_matches_naive_spec(self):
+        """The vectorized one-buffer shingle pass must equal the
+        oracle's straight-line per-doc reimplementation byte for byte,
+        including the edge cases: empty, null, shorter-than-k, pure
+        whitespace, tab/newline runs, repeated shingles, non-ascii."""
+        import numpy as np
+        import pyarrow as pa
+
+        from mobray.functions.hashing import shingle_hash_stream
+        from mobray.oracle.naive import _shingle_hashes
+
+        texts = [
+            "The quick  Brown\tfox",
+            "",
+            None,
+            "ab",
+            "   \t\n  ",
+            "aaaaaaaaaa",
+            "Ünïcödé tëxt ünïcödé",
+            " leading and trailing  ",
+            "x",
+        ]
+        for k in (3, 5, 7):
+            hashes, offsets = shingle_hash_stream(
+                pa.array(texts, pa.string()), k
+            )
+            counts = np.diff(np.append(offsets, len(hashes)))
+            for i, t in enumerate(texts):
+                exp = _shingle_hashes(t, k)
+                got = hashes[offsets[i] : offsets[i] + counts[i]].tolist()
+                assert got == exp, (k, t)
+
+    def test_shingle_hash_stream_chunked_and_offset_inputs(self):
+        import pyarrow as pa
+
+        from mobray.functions.hashing import shingle_hash_stream
+
+        base = pa.array(["hello world", "foo bar baz", "zap"], pa.string())
+        whole = shingle_hash_stream(base, 5)
+        sliced = shingle_hash_stream(base.slice(1), 5)
+        chunked = shingle_hash_stream(
+            pa.chunked_array([base.slice(0, 1), base.slice(1)]), 5
+        )
+        assert whole[0].tolist() == chunked[0].tolist()
+        assert whole[0][len(whole[0]) - len(sliced[0]):].tolist() == sliced[0].tolist()
+
     def test_simhash_batch_matches_scalar(self):
         import numpy as np
 
