@@ -1003,7 +1003,10 @@ def q_asof_copartitioned_events(sf_dir):
         pq.write_table(pa.Table.from_pandas(purch[rm], preserve_index=False), rp)
         pairs.append((lp, rp))
     out = asof_join_copartitioned(
-        pairs, key="user_id", ts="ts", right_cols=["value"]
+        pairs, key="user_id", ts="ts", right_cols=["value"],
+        # global left key set: a purchase-only user (harmless for this
+        # LEFT as-of join) must not trip the misplacement validation
+        left_keys=set(views["user_id"].unique()),
     )
     out = out.map_batches(
         lambda t: t.select(["event_id", "user_id", "value"]), batch_format="pyarrow"

@@ -287,7 +287,12 @@ class CoPartitionedShardStage(_ModelBound):
     feature + model scoring, pd.merge_asof against its attrs shard,
     window features, checkpointed write — one metrics row out, zero rows
     exchanged. A violated assumption raises with guidance to the
-    exchange-based path (``full_job(exchange='shuffle')``).
+    exchange-based path (``full_job(exchange='shuffle')``). The check is
+    deliberately STRICT here — an attrs entity absent from the image
+    shard means a truncated/misaligned shard in this generator-aligned
+    layout, never a benign right-only key; feeds with legitimate
+    right-only entities must pre-filter them (or see
+    ``asof_join_copartitioned(left_keys=...)`` for the exact variant).
 
     Resume: a shard whose partition manifest is already consistent is
     skipped BEFORE any byte of it is read — the exchange path can only

@@ -487,6 +487,7 @@ def asof_join_copartitioned(
     suffix: str = "_r",
     post_fn=None,
     validate: bool = True,
+    left_keys=None,
     concurrency=None,
 ):
     """Shuffle-free as-of join over CO-PARTITIONED parquet file pairs.
@@ -506,6 +507,15 @@ def asof_join_copartitioned(
     present in the pair's left keys) and raises with guidance to the
     exchange-based ``asof_join``; global misplacement on the LEFT side
     cannot be detected locally and is the caller's layout contract.
+
+    A right key with NO left rows anywhere is harmless for this LEFT
+    as-of join (it can never match), but it is locally indistinguishable
+    from a misplaced key. Pass ``left_keys`` (the global left key set —
+    a broadcast-sized collection or anything supporting ``in``) to make
+    the check exact: right-only keys are then silently ignored and only
+    keys that exist globally on the left but are absent from THIS pair's
+    left file raise. Without ``left_keys``, right-only keys must be
+    pre-filtered by the caller (or validation disabled).
 
     Returns a lazy Dataset of joined rows (one output block per pair)."""
     import ray.data
@@ -528,13 +538,20 @@ def asof_join_copartitioned(
             ).to_pandas()
             if validate:
                 extra = set(rt[key].unique()) - set(ldf[key].unique())
+                if extra and left_keys is not None:
+                    # right-only keys (absent from the GLOBAL left set)
+                    # can never match a left row — ignore them; what
+                    # remains is genuine misplacement
+                    extra = {k for k in extra if k in left_keys}
                 if extra:
                     raise ValueError(
                         f"co-partitioning violated in pair "
                         f"{row['left_path']!r}: {len(extra)} right-side "
                         f"keys absent from the left file (e.g. "
                         f"{sorted(extra)[:3]}); use the exchange-based "
-                        f"asof_join for unaligned inputs"
+                        f"asof_join for unaligned inputs (right-only "
+                        f"keys are tolerated only when the global "
+                        f"left_keys set is supplied)"
                     )
             rename = {c: c + suffix for c in rcols if c in ldf.columns}
             if rename:

@@ -598,3 +598,45 @@ class TestAsofCopartitioned:
             asof_join_copartitioned(
                 [(lp, rp)], key="k", ts="ts", right_cols=["v"]
             ).to_pandas()
+
+    def test_right_only_keys_tolerated_with_global_left_keys(
+        self, ray_session, tmp_path
+    ):
+        """A right key with NO left rows anywhere is harmless for a left
+        as-of join: with the global left_keys set supplied it must pass
+        validation (and contribute nothing), while a key that exists on
+        the left globally but is absent from this pair still raises."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mobray.pipelines.temporal import asof_join_copartitioned
+
+        ts = pd.to_datetime(["2024-01-01"] * 2)
+        lp, rp = tmp_path / "l.parquet", tmp_path / "r.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"k": [1, 2], "ts": ts, "x": [0.0, 1.0]})
+            ),
+            lp,
+        )
+        # k=99 exists ONLY on the right side (purchase-only user)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"k": [1, 99], "ts": ts, "v": [5.0, 6.0]})
+            ),
+            rp,
+        )
+        out = asof_join_copartitioned(
+            [(lp, rp)], key="k", ts="ts", right_cols=["v"],
+            left_keys={1, 2},
+        ).to_pandas()
+        assert len(out) == 2
+        assert out.loc[out["k"] == 1, "v"].iloc[0] == 5.0
+        assert out.loc[out["k"] == 2, "v"].isna().all()
+
+        # k=99 DOES exist globally on the left -> genuine misplacement
+        with pytest.raises(Exception, match="co-partitioning violated"):
+            asof_join_copartitioned(
+                [(lp, rp)], key="k", ts="ts", right_cols=["v"],
+                left_keys={1, 2, 99},
+            ).to_pandas()
