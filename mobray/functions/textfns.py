@@ -5,10 +5,12 @@ stages stay vectorized (compiled regexes at module import)."""
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from mobray.functions.hashing import stable_hash64
 
@@ -41,6 +43,53 @@ _STOP_RES: Dict[str, "re.Pattern"] = {
     )
     for lang, words in STOPWORDS.items()
 }
+
+
+def tokenize_lower_batch(col) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched lowercase whitespace tokenization: returns (flat object
+    ndarray of tokens, int64 per-doc start offsets), token-identical to
+    per-row ``(t or "").lower().split()``.
+
+    All-ASCII batches (the common case; every driver fixture is ASCII)
+    run entirely in Arrow C kernels — ascii_lower + trim + split — with
+    the one divergence patched: an empty/whitespace-only doc splits to
+    ``['']`` where Python gives ``[]``, so those empty tokens are dropped
+    and the doc's count zeroed. Batches containing non-ASCII text fall
+    back to the exact per-row Python path, because utf8_lower and
+    str.lower disagree on e.g. 'İ' (Arrow: 'i', Python: 'i\\u0307') and
+    the dedup oracles mirror the Python semantics."""
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(pd.Series(col), from_pandas=True)
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    filled = pc.fill_null(col, "")
+    if pc.min(pc.string_is_ascii(filled)).as_py():
+        trimmed = pc.utf8_trim_whitespace(pc.ascii_lower(filled))
+        split = pc.utf8_split_whitespace(trimmed)
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        counts = counts.astype(np.int64)
+        toks = split.flatten().to_numpy(zero_copy_only=False)
+        empty_doc = pc.equal(trimmed, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        if empty_doc.any():
+            # each empty doc contributed exactly one '' token (split
+            # collapses runs, so a real token is never empty)
+            counts[empty_doc] = 0
+            toks = toks[toks != ""]
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        return toks, offsets
+    texts = filled.to_pylist()
+    toks_l: list = []
+    offsets = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        offsets[i] = len(toks_l)
+        toks_l.extend(t.lower().split())
+    return np.asarray(toks_l, dtype=object), offsets
 
 
 def ws_token_count(texts: pd.Series) -> np.ndarray:
@@ -119,11 +168,7 @@ def rolling_fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
     minhash signature kernel)."""
     mask = np.uint64(0x7FFFFFFFFFFFFFFF)
     out = np.zeros(len(texts), dtype=np.int64)
-    all_toks: list = []
-    offsets = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        offsets[i] = len(all_toks)
-        all_toks.extend(t.lower().split())
+    all_toks, offsets = tokenize_lower_batch(texts)
     total = len(all_toks)
     if total == 0:
         return out

@@ -324,18 +324,18 @@ def simhash_dedup(
     Dataset-returning scale paths (see ``_finalize_pairs``)."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
+        from mobray.functions.textfns import tokenize_lower_batch
+
+        n_texts = batch.num_rows
         ids = batch[id_col].to_pylist()
-        # tokenization is row-wise; hashing + bit-majority are batched
-        toks: List[str] = []
-        offsets = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            offsets[i] = len(toks)
-            toks.extend((t or "").lower().split())
-        hashes = stable_hash64(toks) if toks else np.empty(0, np.uint64)
+        # tokenization, hashing and bit-majority are all batched
+        toks, offsets = tokenize_lower_batch(batch[text_col])
+        hashes = (
+            stable_hash64(toks) if len(toks) else np.empty(0, np.uint64)
+        )
         sigs = simhash64_batch(hashes, offsets)  # (n_docs,) int64
         u = sigs.view(np.uint64)
-        chunks = np.empty((len(texts), 4), dtype=np.int64)
+        chunks = np.empty((n_texts, 4), dtype=np.int64)
         for c in range(4):
             chunks[:, c] = (
                 c * 65536

@@ -9,6 +9,7 @@ from mobray.functions.textfns import (
     detect_language,
     quality_metrics,
     rolling_fingerprint,
+    tokenize_lower_batch,
     ws_token_count,
 )
 from mobray.pipelines.simsearch import knn_bruteforce, knn_ivf, train_centroids
@@ -224,6 +225,58 @@ class TestFingerprintReferenceLoop:
         s = pd.Series(texts)
         for w in (1, 2, 8, 16):
             np.testing.assert_array_equal(rolling_fingerprint(s, w), per_doc(s, w))
+
+
+class TestTokenizeLowerBatch:
+    CASES = [
+        "Hello  World",
+        "",
+        "   ",
+        None,
+        "a\tb\nc",
+        " lead trail ",
+        "x\x1cy",       # \x1c is whitespace to both str.split and Arrow
+        "tab\x85nl",
+        "MiXeD Case 123 a.b,c",
+        "a " * 50,
+    ]
+
+    @staticmethod
+    def _reference(texts):
+        toks, offsets = [], []
+        for t in texts:
+            offsets.append(len(toks))
+            toks.extend((t or "").lower().split())
+        return toks, offsets
+
+    def _check(self, texts):
+        import pyarrow as pa
+
+        for col in (pa.array(texts, pa.string()), pd.Series(texts, dtype=object)):
+            toks, offsets = tokenize_lower_batch(col)
+            ref_toks, ref_offsets = self._reference(texts)
+            assert list(toks) == ref_toks
+            assert list(offsets) == ref_offsets
+
+    def test_ascii_fast_path_token_identical(self):
+        self._check(self.CASES)
+
+    def test_non_ascii_falls_back_to_python_semantics(self):
+        # 'İ'.lower() is 'i̇' (2 codepoints) in Python but 'i' under
+        # Arrow's utf8_lower — the fallback must keep Python semantics
+        self._check(self.CASES + ["Ünïcode STRAßE İstanbul", "çok  güzel"])
+
+    def test_empty_batch(self):
+        toks, offsets = tokenize_lower_batch(pd.Series([], dtype=object))
+        assert len(toks) == 0 and len(offsets) == 0
+
+    def test_chunked_input(self):
+        import pyarrow as pa
+
+        col = pa.chunked_array([self.CASES[:4], self.CASES[4:]], pa.string())
+        toks, offsets = tokenize_lower_batch(col)
+        ref_toks, ref_offsets = self._reference(self.CASES)
+        assert list(toks) == ref_toks and list(offsets) == ref_offsets
 
 
 class TestStopwordAlternation:
