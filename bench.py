@@ -253,6 +253,19 @@ def bench_minhash_docs() -> float:
     return sec
 
 
+def bench_simhash_docs() -> float:
+    import ray.data
+
+    from mobray.pipelines.dedup import simhash_dedup
+
+    # same fusion-breaking repartition rationale as bench_minhash_docs
+    ds = _bench_read(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(NUM_CPUS * 2)
+    sec, _ = timed(lambda: simhash_dedup(ds, "text", "doc_id", hamming_radius=3))
+    return sec
+
+
 def bench_knn() -> float:
     import numpy as np
     import ray.data
@@ -381,6 +394,7 @@ def main() -> None:
         queries["transform_lineitem"] = best2(bench_transform_lineitem)
         queries["asof_windows_events"] = best2(bench_asof_windows)
         queries["minhash_docs"] = best2(bench_minhash_docs)
+        queries["simhash_docs"] = best2(bench_simhash_docs)
         queries["knn_embeddings"] = best2(bench_knn)
 
     probe_after = cpu_probe(NUM_CPUS)

@@ -156,10 +156,12 @@ def detect_language(texts: pd.Series) -> np.ndarray:
     return out
 
 
-def rolling_fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
+def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min over rolling-window
     hashes of the token stream -> int64. Robust to local edits outside
-    the minimizing window; cheap enough for a dedup pre-key.
+    the minimizing window; cheap enough for a dedup pre-key. ``texts``
+    is a pandas Series or an Arrow string array/chunked array (anything
+    ``tokenize_lower_batch`` accepts).
 
     Fully batched: ONE stable_hash64 over the batch's concatenated
     tokens, one global sliding-window polynomial combine, and per-doc

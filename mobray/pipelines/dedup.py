@@ -407,11 +407,10 @@ def ngram_jaccard_pairs(
     from mobray.functions.textfns import rolling_fingerprint
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
         if bucket_col is not None:
             key = stable_hash64(batch[bucket_col].to_pylist()) % num_buckets
         else:
-            key = rolling_fingerprint(texts).astype(np.uint64)
+            key = rolling_fingerprint(batch[text_col]).astype(np.uint64)
         return batch.append_column(
             "__ngram_bucket", pa.array(key.astype(np.int64), pa.int64())
         )
