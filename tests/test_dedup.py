@@ -320,6 +320,48 @@ class TestHashKernels:
         for i, t in enumerate(texts):
             assert int(batch[i]) == simhash64(t.split()), t
 
+    def test_simhash_batch_matches_straightline_majority(self):
+        """The unpackbits/packbits kernel must stay bit-identical to the
+        definition: per doc, bit k of the signature is set iff strictly
+        more than half the token hashes have bit k set. The scalar path
+        routes through the batch kernel, so this independent per-bit
+        counting loop is the real regression guard."""
+        import numpy as np
+
+        from mobray.functions.hashing import simhash64_batch
+
+        def straightline(hashes, offsets):
+            total = len(hashes)
+            out = np.zeros(len(offsets), dtype=np.int64)
+            bounds = list(offsets) + [total]
+            for i in range(len(offsets)):
+                doc = hashes[bounds[i]:bounds[i + 1]]
+                if len(doc) == 0:
+                    continue
+                sig = 0
+                for k in range(64):
+                    ones = sum((int(h) >> k) & 1 for h in doc)
+                    if 2 * ones > len(doc):
+                        sig |= 1 << k
+                out[i] = np.uint64(sig).astype(np.int64)
+            return out
+
+        rng = np.random.RandomState(11)
+        for trial in range(8):
+            n_docs = rng.randint(0, 12)
+            counts = rng.randint(0, 9, n_docs)
+            offsets = (
+                np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+                if n_docs else np.empty(0, np.int64)
+            )
+            # include high-bit-set hashes (sign bit) and duplicates
+            total = int(counts.sum()) if n_docs else 0
+            h = rng.randint(0, 2**63, total).astype(np.uint64) * np.uint64(2)
+            h[::2] |= np.uint64(1)
+            np.testing.assert_array_equal(
+                simhash64_batch(h, offsets), straightline(h, offsets), err_msg=str(trial)
+            )
+
 
 class TestEmbeddingNeardupRecall:
     def test_planted_pairs_all_found(self, ray_session):
