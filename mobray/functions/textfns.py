@@ -60,6 +60,10 @@ def tokenize_lower_batch(col) -> Tuple[np.ndarray, np.ndarray]:
     the dedup oracles mirror the Python semantics."""
     if not isinstance(col, (pa.Array, pa.ChunkedArray)):
         col = pa.array(pd.Series(col), from_pandas=True)
+    if pa.types.is_null(col.type):
+        # an all-null column infers the null type, which no utf8 kernel
+        # accepts — it is just n empty docs
+        col = col.cast(pa.string())
     n = len(col)
     if n == 0:
         return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)

@@ -1,6 +1,7 @@
 """Property-based invariants (hypothesis) for the binning core."""
 
 import numpy as np
+import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from mobray.core.binner import fit_binning, transform_values
@@ -84,3 +85,70 @@ class TestTransformProperties:
         lefts = transform_values(model, probe, "left")
         rights = transform_values(model, probe, "right")
         assert np.all(lefts <= probe) and np.all(probe < rights)
+
+
+class TestTokenizeProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    # printable ASCII + every whitespace class Python and
+                    # Arrow both split on, incl. \x1c-\x1f and \x85
+                    alphabet=st.characters(
+                        codec="ascii", categories=("L", "N", "P", "S", "Z", "C")
+                    ),
+                    max_size=40,
+                ),
+            ),
+            max_size=12,
+        )
+    )
+    def test_ascii_fast_path_token_identical(self, texts):
+        from mobray.functions.textfns import tokenize_lower_batch
+
+        ref_toks, ref_offsets = [], []
+        for t in texts:
+            ref_offsets.append(len(ref_toks))
+            ref_toks.extend((t or "").lower().split())
+        toks, offsets = tokenize_lower_batch(
+            pd.Series(texts, dtype=object)
+        )
+        assert list(toks) == ref_toks
+        assert list(offsets) == ref_offsets
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=10))
+    def test_any_unicode_matches_python_semantics(self, texts):
+        """Arbitrary unicode (forcing the fallback whenever any row is
+        non-ASCII) must still match per-row str.lower().split()."""
+        from mobray.functions.textfns import tokenize_lower_batch
+
+        ref_toks, ref_offsets = [], []
+        for t in texts:
+            ref_offsets.append(len(ref_toks))
+            ref_toks.extend((t or "").lower().split())
+        toks, offsets = tokenize_lower_batch(pd.Series(texts, dtype=object))
+        assert list(toks) == ref_toks
+        assert list(offsets) == ref_offsets
+
+
+class TestSimhashChunkBoundary:
+    def test_multi_chunk_equals_per_half_runs(self):
+        """simhash64_batch chunks docs at 31,250 per pass; a batch that
+        spans the boundary must agree with independent runs over each
+        half (per-doc independence is the kernel's contract)."""
+        from mobray.functions.hashing import simhash64_batch
+
+        rng = np.random.RandomState(5)
+        n_docs = 31_250 + 7
+        counts = rng.randint(1, 3, n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        h = rng.randint(0, 2**63, int(counts.sum())).astype(np.uint64)
+        full = simhash64_batch(h, offsets)
+        split = 31_249  # last doc of chunk 1 / first docs of chunk 2 nearby
+        cut = int(offsets[split])
+        first = simhash64_batch(h[:cut], offsets[:split])
+        second = simhash64_batch(h[cut:], offsets[split:] - cut)
+        np.testing.assert_array_equal(full, np.concatenate([first, second]))
