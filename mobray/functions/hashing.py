@@ -116,6 +116,10 @@ def shingle_hash_stream(texts, k: int = 5):
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
         list(texts), pa.string()
     )
+    if pa.types.is_null(arr.type):
+        # an all-null block infers the null type, which fill_null/utf8
+        # kernels reject — it is just n empty docs
+        arr = arr.cast(pa.string())
     arr = pc.fill_null(arr, "")
     arr = pc.utf8_lower(arr)
     arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")

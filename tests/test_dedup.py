@@ -130,6 +130,40 @@ class TestSimhashDedup:
         assert not any(3 in p or 4 in p for p in pairs)
 
 
+class TestAllNullTextBlocks:
+    """An all-null text partition infers Arrow's null type (e.g. a
+    from_pandas block where every caption is missing); the text dedup
+    family must treat it as empty docs, not crash in the utf8 kernels."""
+
+    def _null_ds(self, n=6):
+        import pandas as pd
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(n), "text": [None] * n})
+        )
+
+    def test_simhash_all_null(self, ray_session):
+        out = simhash_dedup(self._null_ds(), "text", "doc_id", hamming_radius=3)
+        # all signatures are 0 -> every distinct pair at hamming 0
+        assert len(out) == 6 * 5 // 2
+        assert (out["hamming"] == 0).all()
+
+    def test_minhash_all_null(self, ray_session):
+        from mobray.pipelines.dedup import minhash_lsh_dedup
+
+        out = minhash_lsh_dedup(self._null_ds(), "text", "doc_id", threshold=0.8)
+        # empty docs share the empty-shingle-set signature, so all six
+        # docs form one cluster rooted at doc 0; the (id, cluster) output
+        # lists the non-root members
+        got = dict(zip(out["doc_id"], out["cluster"]))
+        assert got == {i: 0 for i in range(1, 6)}
+
+    def test_ngram_all_null(self, ray_session):
+        out = ngram_jaccard_pairs(self._null_ds(), "text", "doc_id").to_pandas()
+        assert set(out.columns) >= {"a", "b", "jaccard"}
+
+
 class TestNgramJaccard:
     def test_pairs(self, ray_session):
         import ray.data
