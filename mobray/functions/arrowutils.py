@@ -25,7 +25,11 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
             vals = np.stack(vals)
         return np.ascontiguousarray(vals).astype(dtype, copy=False)
     if col.null_count:
-        raise ValueError(f"embedding column has {col.null_count} nulls")
+        raise ValueError(
+            f"embedding column has {col.null_count} nulls — a null vector "
+            "cannot be ranked; drop or impute those rows before the vector "
+            "op (e.g. filter inside map_batches on pc.is_valid)"
+        )
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
