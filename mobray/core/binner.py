@@ -110,6 +110,11 @@ class FitAggregates:
     - ``y_distinct``: distinct non-null y values over clean, capped at 3
       (enough to answer the <=2-distinct binary check exactly)
     - ``missing`` / ``excluded``: stats for the special summary rows
+    - ``requested_exclude``: the full user-supplied exclude set. The
+      reference maps ANY requested value to "Excluded:{v}" at transform
+      time whether or not it occurred during fit (MOBPY/binning/
+      mob.py:430-431), so the model must carry the request, not just the
+      observed subset (``excluded`` keys ⊆ ``requested_exclude``).
     """
 
     groups: GroupsTable
@@ -117,6 +122,7 @@ class FitAggregates:
     y_distinct: List[float]
     missing: SpecialStats = field(default_factory=SpecialStats)
     excluded: Dict[float, SpecialStats] = field(default_factory=dict)
+    requested_exclude: Tuple[float, ...] = ()
 
 
 def detect_binary(y_distinct: List[float]) -> bool:
@@ -183,6 +189,7 @@ def aggregates_from_arrays(
         y_distinct=[float(v) for v in y_distinct],
         missing=SpecialStats.from_y(y[missing_mask]) if missing_mask.any() else SpecialStats(),
         excluded=excluded,
+        requested_exclude=tuple(exclude_set),
     )
 
 
@@ -225,6 +232,7 @@ def aggregates_to_json(agg: FitAggregates) -> str:
             "y_distinct": agg.y_distinct,
             "missing": ss(agg.missing),
             "excluded": {str(k): ss(v) for k, v in agg.excluded.items()},
+            "requested_exclude": list(agg.requested_exclude),
         }
     )
 
@@ -255,6 +263,8 @@ def aggregates_from_json(s: str) -> FitAggregates:
         y_distinct=[float(v) for v in d["y_distinct"]],
         missing=ss(d["missing"]),
         excluded={float(k): ss(v) for k, v in d["excluded"].items()},
+        # .get: sketches checkpointed before this field existed
+        requested_exclude=tuple(float(v) for v in d.get("requested_exclude", [])),
     )
 
 
@@ -306,6 +316,9 @@ def merge_fit_aggregates(a: FitAggregates, b: FitAggregates) -> FitAggregates:
         y_distinct=sorted(set(a.y_distinct) | set(b.y_distinct))[:3],
         missing=a.missing.merge(b.missing),
         excluded=excluded,
+        requested_exclude=tuple(
+            sorted(set(a.requested_exclude) | set(b.requested_exclude))
+        ),
     )
 
 
@@ -437,7 +450,11 @@ def fit_from_aggregates(
         is_binary=is_binary,
         woe=woe,
         iv=iv,
-        exclude_values=frozenset(float(v) for v in agg.excluded),
+        # the REQUESTED set, not just the observed subset: the reference
+        # maps any requested value to "Excluded:{v}" at transform even
+        # when it never occurred during fit (MOBPY/binning/mob.py:430)
+        exclude_values=frozenset(float(v) for v in agg.excluded)
+        | frozenset(agg.requested_exclude),
         special_rows=tuple(special_rows),
         diagnostics=diagnostics,
     )

@@ -77,7 +77,7 @@ def collect_aggregates(
         Max("mx", alias_name="mx"),
     )
     small = agg.to_pandas()  # rows = distinct x (+ a few specials): small
-    return _rows_to_aggregates(small)
+    return _rows_to_aggregates(small, exclude_values)
 
 
 def _prebucket_edges(
@@ -177,7 +177,7 @@ def fit_dataset(
     )
 
 
-def _rows_to_aggregates(small) -> FitAggregates:
+def _rows_to_aggregates(small, exclude_values=None) -> FitAggregates:
     """Driver-side: aggregated (tag, xk) rows -> FitAggregates."""
     c = small[small["tag"] == "c"].sort_values("xk")
     if len(c) == 0:
@@ -220,6 +220,10 @@ def _rows_to_aggregates(small) -> FitAggregates:
         y_distinct=[float(v) for v in ydist],
         missing=missing_stats,
         excluded=excluded,
+        requested_exclude=(
+            tuple(sorted(set(float(v) for v in exclude_values)))
+            if exclude_values else ()
+        ),
     )
 
 

@@ -208,6 +208,36 @@ class TestTransform:
             idx = model.labels.index(lab)
             assert model.lefts[idx] == edge
 
+    def test_unobserved_exclude_value_still_maps(self):
+        """The reference checks the USER-SUPPLIED exclude set at
+        transform (MOBPY/binning/mob.py:430-431), so a requested value
+        that never occurred during fit must still map to Excluded — the
+        model carries the request, not just the observed subset."""
+        x, y = logistic_data()
+        model = fit_binning(x, y, exclude_values=[-999.0, -1.5])
+        assert model.exclude_values == frozenset({-999.0, -1.5})
+        out = transform_values(model, np.array([-999.0, -1.5, 0.5]))
+        assert out[0] == "Excluded:-999.0"
+        assert out[1] == "Excluded:-1.5"
+        woe = transform_values(model, np.array([-999.0]), "woe")
+        assert np.isnan(woe[0])
+
+    def test_requested_exclude_survives_sketch_roundtrip_and_merge(self):
+        from mobray.core.binner import (
+            aggregates_from_arrays,
+            aggregates_from_json,
+            aggregates_to_json,
+            merge_fit_aggregates,
+        )
+
+        x, y = logistic_data()
+        a = aggregates_from_arrays(x[:200], y[:200], exclude_values=[-999.0])
+        b = aggregates_from_arrays(x[200:], y[200:], exclude_values=[-7.0])
+        rt = aggregates_from_json(aggregates_to_json(a))
+        assert rt.requested_exclude == (-999.0,)
+        merged = merge_fit_aggregates(a, b)
+        assert merged.requested_exclude == (-999.0, -7.0)
+
     def test_woe_requires_binary(self):
         rng = np.random.RandomState(7)
         x = np.repeat(np.arange(20.0), 25)

@@ -56,6 +56,20 @@ class TestFitParity:
             s1["count_pct"].to_numpy(), s2["count_pct"].to_numpy(), rtol=1e-9
         )
 
+    def test_unobserved_exclude_value_maps_distributed(self, ray_session, logistic_df):
+        """Parity with the reference's transform-time exclude check
+        (MOBPY/binning/mob.py:430-431): a requested exclude value absent
+        from the fit data must still reach the distributed model."""
+        import ray.data
+
+        from mobray.core import transform_values
+
+        ds = ray.data.from_pandas(logistic_df).repartition(4)
+        dist = fit_dataset(ds, "x", "y", exclude_values=[-999, -123456.0])
+        assert -123456.0 in dist.exclude_values  # never occurs in the data
+        out = transform_values(dist, np.array([-123456.0]))
+        assert out[0] == "Excluded:-123456.0"
+
     def test_continuous_target(self, ray_session):
         import ray.data
 
