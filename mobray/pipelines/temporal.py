@@ -198,13 +198,21 @@ def lag_lead(
     lags: Sequence[int] = (1,),
     leads: Sequence[int] = (),
     num_buckets: Optional[int] = None,
+    tiebreak: Optional[str] = None,
 ):
     """Per-entity LAG/LEAD columns (``{col}_lag{k}`` / ``{col}_lead{k}``),
     ordered by ts within entity. SQL-equivalent:
-    ``LAG(col, k) OVER (PARTITION BY key ORDER BY ts)``."""
+    ``LAG(col, k) OVER (PARTITION BY key ORDER BY ts)``.
+
+    Rows TIED on (key, ts) are ordered by arrival (stable sort) — which,
+    like the SQL window above, is not reproducible after an unordered
+    upstream (shuffle, unordered read). Pass ``tiebreak`` (a unique
+    column, e.g. an event id) to pin tied rows deterministically."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
+        g = g.sort_values(
+            [key, ts] + ([tiebreak] if tiebreak else []), kind="stable"
+        )
         grouped = g.groupby(key, sort=False)
         for col in cols:
             for k in lags:
@@ -223,14 +231,18 @@ def backfill(
     cols: Sequence[str],
     num_buckets: Optional[int] = None,
     out_suffix: str = "_filled",
+    tiebreak: Optional[str] = None,
 ):
     """Forward-fill nulls per entity using only values at earlier (or the
     same) timestamps — never a later value, so zero temporal leakage.
     SQL-equivalent: ``LAST_VALUE(col IGNORE NULLS) OVER (PARTITION BY key
-    ORDER BY ts ROWS UNBOUNDED PRECEDING)``."""
+    ORDER BY ts ROWS UNBOUNDED PRECEDING)``. ``tiebreak``: see
+    ``lag_lead`` (pins rows tied on (key, ts) deterministically)."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
+        g = g.sort_values(
+            [key, ts] + ([tiebreak] if tiebreak else []), kind="stable"
+        )
         grouped = g.groupby(key, sort=False)
         for col in cols:
             g[f"{col}{out_suffix}"] = grouped[col].ffill()
@@ -651,15 +663,19 @@ def rolling_window(
     value_col: str,
     window_rows: int = 4,
     num_buckets: Optional[int] = None,
+    tiebreak: Optional[str] = None,
 ):
     """Per-entity trailing rolling aggregates over the previous
     ``window_rows`` rows (inclusive of current): mean/min/max/count.
     SQL-equivalent: ``AVG(v) OVER (PARTITION BY key ORDER BY ts ROWS
     BETWEEN {window_rows-1} PRECEDING AND CURRENT ROW)``. Only past rows
-    enter the window — no temporal leakage."""
+    enter the window — no temporal leakage. ``tiebreak``: see
+    ``lag_lead``."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
+        g = g.sort_values(
+            [key, ts] + ([tiebreak] if tiebreak else []), kind="stable"
+        )
         grouped = g.groupby(key, sort=False)[value_col]
         roll = grouped.rolling(window=window_rows, min_periods=1)
         g[f"{value_col}_rmean"] = roll.mean().reset_index(level=0, drop=True)
@@ -680,14 +696,19 @@ def topk_per_key(
     k: int = 3,
     descending: bool = True,
     num_buckets: Optional[int] = None,
+    tiebreak: Optional[str] = None,
 ):
     """Top-k rows per entity by ``value_col`` with a rank column.
     SQL-equivalent: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY v
-    DESC) <= k``. Ties broken deterministically by the value then input
-    order within the sorted bucket."""
+    DESC) <= k``. Ties on the value are broken by input order within the
+    sorted bucket; pass ``tiebreak`` (unique column, always ascending)
+    to make rank — and therefore which tied rows survive the cut —
+    reproducible after an unordered upstream."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, value_col], ascending=[True, not descending],
+        order = [key, value_col] + ([tiebreak] if tiebreak else [])
+        g = g.sort_values(order,
+                          ascending=[True, not descending] + [True] * bool(tiebreak),
                           kind="stable")
         g["rank"] = g.groupby(key, sort=False).cumcount() + 1
         return g[g["rank"] <= k]

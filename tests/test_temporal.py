@@ -371,6 +371,61 @@ class TestAsofVariants:
         assert np.isnan(out["attr"].iloc[0])  # same-instant row must not match
 
 
+class TestTiebreakDeterminism:
+    """Rows tied on (key, ts) follow arrival order (same as the SQL
+    window they mirror) — not reproducible after an unordered upstream.
+    The explicit ``tiebreak`` column must pin the output."""
+
+    @staticmethod
+    def _tied_events(n=400, seed=0):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": rng.randint(0, 5, n),
+                # only 20 distinct hours -> heavy (user, ts) ties
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 20, n), unit="h"),
+                "value": rng.randn(n),
+            }
+        )
+
+    def test_lag_lead_invariant_with_tiebreak(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.temporal import lag_lead
+
+        df = self._tied_events()
+        outs = []
+        for seed in (None, 1, 2):
+            ds = ray.data.from_pandas(df)
+            if seed is not None:
+                ds = ds.random_shuffle(seed=seed)
+            o = lag_lead(
+                ds, key="user_id", ts="ts", cols=["value"], tiebreak="event_id"
+            ).to_pandas().sort_values("event_id").reset_index(drop=True)
+            outs.append(o["value_lag1"].fillna(-9.0))
+        assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+
+    def test_topk_rank_invariant_with_tiebreak(self, ray_session):
+        import ray.data
+
+        from mobray.pipelines.temporal import topk_per_key
+
+        df = self._tied_events()
+        df["value"] = np.round(df["value"], 0)  # force value ties
+        outs = []
+        for seed in (None, 3):
+            ds = ray.data.from_pandas(df)
+            if seed is not None:
+                ds = ds.random_shuffle(seed=seed)
+            o = topk_per_key(
+                ds, key="user_id", value_col="value", k=5, tiebreak="event_id"
+            ).to_pandas().sort_values(["user_id", "rank"]).reset_index(drop=True)
+            outs.append(o[["user_id", "rank", "event_id"]])
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 class TestBucketKeySafety:
     def test_prebucket_other_key_not_reused(self, ray_session):
         """A dataset pre-bucketed on key A must be RE-bucketed when an
