@@ -287,6 +287,32 @@ def q_lag_lead_events(sf_dir):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def q_lag_tiebreak_events(sf_dir):
+    """Deterministic lag over heavily TIED timestamps: ts truncated to
+    the hour (many events share a (user, hour) slot), with the explicit
+    ``tiebreak`` column pinning tie order (pipelines/temporal.py
+    lag_lead) — mirrors ``LAG(value) OVER (PARTITION BY user_id ORDER BY
+    date_trunc('hour', ts), event_id)`` exactly."""
+    import pyarrow.compute as pc
+
+    from mobray.pipelines.temporal import lag_lead
+
+    ev = _events(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "ts_h", pc.floor_temporal(t["ts"], unit="hour")
+        ),
+        batch_format="pyarrow",
+    )
+    out = lag_lead(
+        ev, "user_id", "ts_h", ["value"], lags=[1], num_buckets=16,
+        tiebreak="event_id",
+    )
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "value_lag1"]), batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def q_sessionize_events(sf_dir):
     from mobray.pipelines.temporal import sessionize
 
@@ -1053,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binning_summary": q_binning_summary,
         "asof_join_events": q_asof_join_events,
         "lag_lead_events": q_lag_lead_events,
+        "lag_tiebreak_events": q_lag_tiebreak_events,
         "sessionize_events": q_sessionize_events,
         "backfill_events": q_backfill_events,
         "tumbling_events": q_tumbling_events,
@@ -1345,6 +1372,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    LAG(value)  OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1,
                    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead1
+            FROM events
+        """,
+        "lag_tiebreak_events": """
+            SELECT event_id,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY date_trunc('hour', ts), event_id)
+                       AS value_lag1
             FROM events
         """,
         "sessionize_events": """
