@@ -37,12 +37,19 @@ class MonotonicBinner:
         strict: bool = True,
         constraints: Optional[BinningConstraints] = None,
         exclude_values: Optional[Iterable] = None,
+        sort_kind: Optional[str] = "quicksort",
         merge_strategy: Union[MergeStrategy, str] = MergeStrategy.HIGHEST_PVALUE,
     ):
         if metric != "mean":
             raise ValueError(
                 f"Only metric='mean' is supported in this version, got '{metric}'."
             )
+        # accepted for reference drop-in compatibility, intentionally
+        # unused: the reference's sort_kind is a pandas sort-algorithm
+        # hint (MOBPY/binning/mob.py:116); the fit here aggregates exact
+        # per-distinct-x sufficient stats, so results never depend on the
+        # sort algorithm
+        self.sort_kind = sort_kind
         self.df = df
         self.x = x
         self.y = y
