@@ -166,3 +166,16 @@ class TestReferenceCompatShims:
         assert p.plot_gcm is csd.plot_gcm is data.plot_gcm
         assert set(p.__all__) == set(mp.__all__) | set(csd.__all__)
         assert set(legacy.__all__) == set(mp.__all__)
+
+    def test_binning_package_aliases(self):
+        # the reference's own tests import from MOBPY.binning.mob
+        # (reference tests/test_mob.py:13); the alias package must
+        # resolve to the real implementations
+        from mobray import MonotonicBinner as top
+        from mobray.binning import MonotonicBinner as pkg
+        from mobray.binning.mob import MonotonicBinner as mod
+        from mobray.binning.mob import _format_edge
+        from mobray.core.format import format_edge
+
+        assert top is pkg is mod
+        assert _format_edge is format_edge
