@@ -37,6 +37,32 @@ from mobray.pipelines.temporal import (
 )
 
 
+def _join_aggregator_args(nb: int) -> dict:
+    """Size the per-partition aggregator reservation for Dataset.join.
+
+    Ray's two-input join spawns ``num_partitions`` CONCURRENT aggregator
+    actors at 1 CPU each by default: any partition count at or above the
+    cluster's CPU count starves the producer tasks and deadlocks the
+    streaming pipeline (reproduced with the default 64-bucket floor on a
+    4-CPU session — the join never returned). Reserve a fraction per
+    aggregator so the whole pool takes AT MOST half the cluster, leaving
+    the rest for the producer/read tasks — the bound must hold strictly
+    (a 0.05/aggregator floor at nb=64 on 4 CPUs reserved 3.2 of 4 and
+    still deadlocked; 2.0 of 4 completes reliably), so the per-actor
+    share is floored to 3 decimals, never rounded up."""
+    import math
+
+    import ray
+
+    try:
+        cpus = float(ray.cluster_resources().get("CPU", 0)) or 4.0
+    except Exception:
+        cpus = 4.0
+    share = cpus * 0.5 / max(nb, 1)
+    agg_cpus = min(1.0, max(0.001, math.floor(share * 1000) / 1000))
+    return {"num_cpus": agg_cpus}
+
+
 def hash_join(
     left,
     right,
@@ -76,6 +102,7 @@ def hash_join(
             num_partitions=nb,
             on=(on,),
             right_suffix=suffix,
+            aggregator_ray_remote_args=_join_aggregator_args(nb),
         )
 
     left_names = [c for c in left.schema().names if not is_bucket_col(c)]
@@ -122,7 +149,11 @@ def hash_join(
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
+        # SQL null semantics (what the native engine and every SQL oracle
+        # produce): a NULL key matches nothing — pd.merge would match
+        # NaN to NaN, so null-keyed right rows are dropped up front
         rdf = g[g["__side"] == 1][[on] + out_rcols]
+        rdf = rdf[rdf[on].notna()]
         if len(ldf) == 0:
             return ldf.assign(**{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols})
         merged = ldf.merge(rdf, on=on, how=how)
@@ -245,7 +276,9 @@ def hash_join_salted(
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         ldf = g[g["__side"] == 0].drop(columns=["__side"] + out_rcols)
+        # SQL null semantics: see hash_join's padded merge
         rdf = g[g["__side"] == 1][[on, "__salt"] + out_rcols]
+        rdf = rdf[rdf[on].notna()]
         if len(ldf) == 0:
             out = ldf.assign(
                 **{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols}
@@ -284,6 +317,7 @@ def semi_join(
             join_type="left_anti" if anti else "left_semi",
             num_partitions=nb,
             on=(on,),
+            aggregator_ray_remote_args=_join_aggregator_args(nb),
         )
     left_names = [c for c in left.schema().names if not is_bucket_col(c)]
     left_types = _arrow_types(left.schema())
@@ -319,8 +353,11 @@ def semi_join(
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         ldf = g[g["__side"] == 0].drop(columns="__side")
-        keys = set(g.loc[g["__side"] == 1, on])
-        mask = ldf[on].isin(keys)
+        # SQL null semantics: NULL = NULL is not true, so a null right
+        # key matches nothing (isin would match NaN to NaN) and a null
+        # left key never semi-matches / always anti-survives
+        keys = set(g.loc[g["__side"] == 1, on].dropna())
+        mask = ldf[on].isin(keys) & ldf[on].notna()
         out = ldf[~mask] if anti else ldf[mask]
         return restore_pad_dtypes(out.copy(), left_types)
 

@@ -102,3 +102,78 @@ class TestSemiJoin:
         assert len(semi) + len(anti) == len(left)
         # semi join never duplicates left rows despite right dups
         assert len(semi) == left["k"].isin(keys).sum()
+
+
+class TestNullKeySemantics:
+    """SQL semantics for NULL join keys (what every DuckDB oracle
+    produces): NULL = NULL is not true. pd.merge/isin match NaN to NaN,
+    so the padded engine must filter them; both engines must agree."""
+
+    @pytest.fixture()
+    def null_sides(self):
+        left = pd.DataFrame(
+            {"k": [1.0, 2.0, np.nan, np.nan], "a": [10, 20, 30, 40]}
+        )
+        right = pd.DataFrame({"k": [1.0, np.nan], "b": [100.0, 200.0]})
+        return left, right
+
+    def test_padded_inner_left(self, ray_session, null_sides):
+        import ray.data
+
+        left, right = null_sides
+        inner = hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", num_buckets=4, engine="padded",
+        ).to_pandas()
+        assert inner["a"].tolist() == [10]  # only the non-null match
+        lj = hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", how="left", num_buckets=4, engine="padded",
+        ).to_pandas().sort_values("a")
+        assert lj["a"].tolist() == [10, 20, 30, 40]
+        assert lj["b"].notna().tolist() == [True, False, False, False]
+
+    def test_padded_semi_anti(self, ray_session, null_sides):
+        import ray.data
+
+        left, right = null_sides
+        semi = semi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", num_buckets=4, engine="padded",
+        ).to_pandas()
+        assert sorted(semi["a"].tolist()) == [10]
+        anti = semi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", anti=True, num_buckets=4, engine="padded",
+        ).to_pandas()
+        # null-keyed left rows always anti-survive (SQL NOT EXISTS)
+        assert sorted(anti["a"].tolist()) == [20, 30, 40]
+
+    def test_salted_drops_null_matches(self, ray_session, null_sides):
+        import ray.data
+
+        from mobray.pipelines.relational import hash_join_salted
+
+        left, right = null_sides
+        out = hash_join_salted(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", hot_keys=[1.0], salt=2, num_buckets=4,
+        ).to_pandas()
+        assert out["a"].tolist() == [10]
+
+
+class TestJoinAggregatorSizing:
+    def test_total_reservation_leaves_producer_room(self):
+        """Dataset.join aggregator actors must never reserve more than
+        ~half the cluster — nb x share above that deadlocked a 4-CPU
+        session with the default 64-bucket floor (and a 0.05 floor that
+        reserved 3.2/4 still deadlocked)."""
+        import ray
+
+        from mobray.pipelines.relational import _join_aggregator_args
+
+        cpus = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
+        for nb in (2, 8, 16, 64, 200):
+            share = _join_aggregator_args(nb)["num_cpus"]
+            assert 0 < share <= 1.0
+            assert nb * share <= cpus * 0.5 + 1e-9
