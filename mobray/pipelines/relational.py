@@ -55,7 +55,11 @@ def _join_aggregator_args(nb: int) -> dict:
     import ray
 
     try:
-        cpus = float(ray.cluster_resources().get("CPU", 0)) or 4.0
+        # never auto-init from library code — the driver owns the session
+        cpus = (
+            float(ray.cluster_resources().get("CPU", 0))
+            if ray.is_initialized() else 0.0
+        ) or 4.0
     except Exception:
         cpus = 4.0
     share = cpus * 0.5 / max(nb, 1)
