@@ -177,3 +177,60 @@ class TestJoinAggregatorSizing:
             share = _join_aggregator_args(nb)["num_cpus"]
             assert 0 < share <= 1.0
             assert nb * share <= cpus * 0.5 + 1e-9
+
+
+class TestEngineAgreementRandomized:
+    """Native (Dataset.join) and padded engines must agree with a
+    null-aware pandas oracle on random inputs: duplicate keys (join
+    multiplicity), null keys on both sides, keys private to each side."""
+
+    @staticmethod
+    def _frames(seed):
+        rng = np.random.RandomState(seed)
+        def keys(n):
+            k = rng.randint(0, 12, n).astype(float)
+            k[rng.uniform(size=n) < 0.15] = np.nan
+            return k
+        left = pd.DataFrame({"k": keys(120), "lv": rng.rand(120)})
+        right = pd.DataFrame({"k": keys(30), "rv": rng.rand(30)})
+        return left, right
+
+    @staticmethod
+    def _oracle(left, right, how):
+        r = right[right["k"].notna()]
+        return left.merge(r, on="k", how=how)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_triple_agreement(self, ray_session, seed, how):
+        import ray.data
+
+        left, right = self._frames(seed)
+        expect = canon(self._oracle(left, right, how).fillna(-1), ["k", "lv", "rv"])
+        for engine in ("native", "padded"):
+            got = hash_join(
+                ray.data.from_pandas(left).repartition(3),
+                ray.data.from_pandas(right).repartition(2),
+                on="k", how=how, num_buckets=4, engine=engine,
+            ).to_pandas()
+            got = canon(got.fillna(-1), ["k", "lv", "rv"])
+            pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_semi_anti_agreement(self, ray_session, seed):
+        import ray.data
+
+        left, right = self._frames(seed)
+        valid = set(right["k"].dropna())
+        match = left["k"].notna() & left["k"].isin(valid)
+        for engine in ("native", "padded"):
+            semi = semi_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                on="k", num_buckets=4, engine=engine,
+            ).to_pandas()
+            anti = semi_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                on="k", anti=True, num_buckets=4, engine=engine,
+            ).to_pandas()
+            assert sorted(semi["lv"].round(9)) == sorted(left.loc[match, "lv"].round(9)), engine
+            assert sorted(anti["lv"].round(9)) == sorted(left.loc[~match, "lv"].round(9)), engine
